@@ -1,0 +1,140 @@
+"""Scene: the pytree of everything the kernels consume, plus the
+top-level intersect/occlusion dispatch.
+
+TPU-native counterpart of src/core/scene.rs (facade over aggregate +
+lights, scene.rs:11-72) — but as data: a Scene is a NamedTuple of SoA
+arrays (triangles, quadrics, BVH, material/light/media tables). The
+differentiable leaves live in `materials`/`lights`/`media`/camera.
+
+Intersection dispatch selects between the brute-force all-pairs path
+(small scenes, oracle) and BVH traversal (meshes), combining triangle and
+quadric pools — the analog of BVHAccel over mixed primitives
+(src/accelerators/bvh.rs:828-932 + primitive.rs:33-102).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Any
+
+import jax.numpy as jnp
+
+from ..core.types import Float, Int, INF, RAY_EPS
+from ..core import vecmath as vm
+from . import triangle as trimod
+from . import quadrics as quadmod
+from .types import TriangleSoA, QuadricSoA, Hit, empty_triangles, empty_quadrics
+
+
+class Scene(NamedTuple):
+    tri: TriangleSoA
+    quad: QuadricSoA
+    bvh: Any                  # Optional[BVHArrays] — None → brute force
+    materials: Any            # shade.materials.MaterialTable
+    lights: Any               # lights.types.LightTable
+    media: Any                # shade.media.MediumTable or None
+    world_center: jnp.ndarray
+    world_radius: jnp.ndarray
+
+
+def make_scene(tri=None, quad=None, materials=None, lights=None, media=None, bvh=None):
+    import numpy as np
+    tri = tri if tri is not None else empty_triangles()
+    quad = quad if quad is not None else empty_quadrics()
+    # world bounds from geometry (host-side, static)
+    pts = []
+    if tri.positions.shape[0]:
+        pts.append(np.asarray(tri.positions))
+    if quad.kind.shape[0]:
+        c = np.asarray(quad.obj_to_world)[:, :3, 3]
+        r = np.abs(np.asarray(quad.params)[:, 0:1])
+        pts.append(c - r)
+        pts.append(c + r)
+    if pts:
+        allp = np.concatenate(pts, axis=0)
+        lo, hi = allp.min(0), allp.max(0)
+        center = (lo + hi) / 2.0
+        radius = float(np.linalg.norm(hi - center)) + 1e-4
+    else:
+        center, radius = np.zeros(3), 1.0
+    return Scene(tri=tri, quad=quad, bvh=bvh, materials=materials,
+                 lights=lights, media=media,
+                 world_center=jnp.asarray(center, Float),
+                 world_radius=jnp.asarray(radius, Float))
+
+
+def _empty_hit(o, d):
+    n = o.shape[:-1]
+    z3 = jnp.zeros(n + (3,), Float)
+    return Hit(valid=jnp.zeros(n, bool), t=jnp.full(n, INF, Float), p=z3,
+               ng=z3, ns=z3, uv=jnp.zeros(n + (2,), Float), dpdu=z3,
+               wo=-d, material_id=jnp.full(n, -1, Int),
+               light_id=jnp.full(n, -1, Int), prim_kind=jnp.zeros(n, Int),
+               prim_id=jnp.full(n, -1, Int))
+
+
+def intersect(scene: Scene, o, d, t_min=None, t_max=None) -> Hit:
+    """Closest-hit query for a wavefront of rays o/d (N, 3)."""
+    n = o.shape[:-1]
+    t_min = jnp.broadcast_to(jnp.asarray(RAY_EPS if t_min is None else t_min, Float), n)
+    t_max = jnp.broadcast_to(jnp.asarray(INF if t_max is None else t_max, Float), n)
+
+    hit = _empty_hit(o, d)
+    best_t = t_max
+
+    if scene.tri.count:
+        if scene.bvh is not None:
+            from . import bvh as bvhmod
+            t_hit, t_t, t_idx, b1, b2 = bvhmod.traverse_closest(
+                scene.bvh, scene.tri, o, d, t_min, best_t)
+        else:
+            t_hit, t_t, t_idx, b1, b2 = trimod.intersect_brute(scene.tri, o, d, t_min, best_t)
+        p, ng, ns, uv, dpdu = trimod.shading_geometry(scene.tri, o, d, t_idx, t_t, b1, b2)
+        take = t_hit & (t_t < best_t)
+        hit = Hit(valid=hit.valid | take,
+                  t=jnp.where(take, t_t, hit.t),
+                  p=jnp.where(take[..., None], p, hit.p),
+                  ng=jnp.where(take[..., None], ng, hit.ng),
+                  ns=jnp.where(take[..., None], ns, hit.ns),
+                  uv=jnp.where(take[..., None], uv, hit.uv),
+                  dpdu=jnp.where(take[..., None], dpdu, hit.dpdu),
+                  wo=hit.wo,
+                  material_id=jnp.where(take, scene.tri.material_id[t_idx], hit.material_id),
+                  light_id=jnp.where(take, scene.tri.light_id[t_idx], hit.light_id),
+                  prim_kind=jnp.where(take, 0, hit.prim_kind),
+                  prim_id=jnp.where(take, t_idx, hit.prim_id))
+        best_t = jnp.where(take, t_t, best_t)
+
+    if scene.quad.count:
+        q_hit, q_t, q_idx, p, ng, uv, dpdu = quadmod.intersect_brute(
+            scene.quad, o, d, t_min, best_t)
+        take = q_hit & (q_t < best_t)
+        hit = Hit(valid=hit.valid | take,
+                  t=jnp.where(take, q_t, hit.t),
+                  p=jnp.where(take[..., None], p, hit.p),
+                  ng=jnp.where(take[..., None], ng, hit.ng),
+                  ns=jnp.where(take[..., None], ng, hit.ns),
+                  uv=jnp.where(take[..., None], uv, hit.uv),
+                  dpdu=jnp.where(take[..., None], dpdu, hit.dpdu),
+                  wo=hit.wo,
+                  material_id=jnp.where(take, scene.quad.material_id[q_idx], hit.material_id),
+                  light_id=jnp.where(take, scene.quad.light_id[q_idx], hit.light_id),
+                  prim_kind=jnp.where(take, 1, hit.prim_kind),
+                  prim_id=jnp.where(take, q_idx, hit.prim_id))
+        best_t = jnp.where(take, q_t, best_t)
+    return hit
+
+
+def occluded(scene: Scene, o, d, t_min=None, t_max=None):
+    """Any-hit (shadow) query (scene.rs:57 intersect_p)."""
+    n = o.shape[:-1]
+    t_min = jnp.broadcast_to(jnp.asarray(RAY_EPS if t_min is None else t_min, Float), n)
+    t_max = jnp.broadcast_to(jnp.asarray(INF if t_max is None else t_max, Float), n)
+    occ = jnp.zeros(n, bool)
+    if scene.tri.count:
+        if scene.bvh is not None:
+            from . import bvh as bvhmod
+            occ = occ | bvhmod.traverse_any(scene.bvh, scene.tri, o, d, t_min, t_max)
+        else:
+            occ = occ | trimod.occluded_brute(scene.tri, o, d, t_min, t_max)
+    if scene.quad.count:
+        occ = occ | quadmod.occluded_brute(scene.quad, o, d, t_min, t_max)
+    return occ

@@ -1,0 +1,116 @@
+"""Shared integrator machinery: shading frames, MIS next-event
+estimation, light selection.
+
+TPU-native counterpart of src/core/integrator.rs helpers:
+`uniform_sample_one_light` (integrator.rs:92-134) and `estimate_direct`
+(integrator.rs:136-266 — MIS NEE with the power heuristic). Everything is
+masked wavefront math; the reference's NaN-check bug (integrator.rs:455)
+and inverted visibility (light.rs:126) are not reproduced.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from ..core.types import Float, Int, INF, SHADOW_EPS
+from ..core import vecmath as vm
+from ..core.sampling import power_heuristic
+from ..core.spectrum import luminance
+from ..geom import scene as scenemod
+from ..lights import lights as lightsmod
+from ..shade import materials as matmod
+from ..shade import bxdf
+
+
+class Frame(NamedTuple):
+    t: jnp.ndarray
+    b: jnp.ndarray
+    n: jnp.ndarray
+
+    def to_local(self, v):
+        return vm.to_local(v, self.t, self.b, self.n)
+
+    def to_world(self, v):
+        return vm.to_world(v, self.t, self.b, self.n)
+
+
+def shading_frame(hit):
+    t = hit.dpdu
+    n = hit.ns
+    b = vm.normalize(vm.cross(n, t))
+    t = vm.cross(b, n)
+    return Frame(t, b, n)
+
+
+def select_light_uniform(lights, u):
+    """(light index, pmf) — UniformSampleOne (integrator.rs:92-110)."""
+    n = lights.count
+    idx = jnp.minimum((u * n).astype(jnp.int32), n - 1)
+    return idx, jnp.full(u.shape, 1.0 / n, Float)
+
+
+def select_light_power(lights, power_dist, u):
+    """Power-weighted selection (lightdistrib.rs Power)."""
+    idx, pmf, _ = power_dist.sample_discrete(u)
+    return idx.astype(jnp.int32), pmf
+
+
+def estimate_direct(scene, lights, lp, kinds_present, frame, p, ns, ng, wo,
+                    lt, lt_pmf, u_light, u_bsdf, u_lobe, active,
+                    handle_media=False):
+    """MIS direct lighting for one sampled light per lane
+    (integrator.rs:136-266). Returns (N, 3) radiance (already divided by
+    the light-selection pmf)."""
+    n_shape = p.shape[:-1]
+    ld = jnp.zeros(p.shape, Float)
+
+    # ---- light-sampling strategy (integrator.rs:155-195)
+    ls = lightsmod.sample_li(lights, scene, lt, p, u_light, scene.world_radius)
+    wi = ls["wi"]
+    wo_l = frame.to_local(wo)
+    wi_l = frame.to_local(wi)
+    f = matmod.evaluate_f(lp, kinds_present, wo_l, wi_l) * vm.absdot(wi, ns)[..., None]
+    scat_pdf = matmod.pdf(lp, kinds_present, wo_l, wi_l)
+    usable = active & (ls["pdf"] > 0.0) & (luminance(ls["li"]) > 0.0) & (luminance(f) > 0.0)
+    # shadow ray: offset origin along ng toward wi; clip just short of the
+    # light sample so we don't hit the light itself.
+    o_sh = vm.offset_ray_origin(p, ng, wi)
+    t_max = ls["dist"] * (1.0 - 1e-3)
+    occ = scenemod.occluded(scene, o_sh, wi, t_max=jnp.maximum(t_max, SHADOW_EPS))
+    vis = usable & ~occ
+    w_l = jnp.where(ls["is_delta"], 1.0, power_heuristic(1.0, ls["pdf"], 1.0, scat_pdf))
+    contrib = f * ls["li"] * (w_l / jnp.maximum(ls["pdf"], 1e-12))[..., None]
+    ld = ld + jnp.where(vis[..., None], contrib, 0.0)
+
+    # ---- BSDF-sampling strategy (integrator.rs:196-262)
+    wi_b_l, f_b, pdf_b, spec_b, _ = matmod.sample(lp, kinds_present, wo_l, u_lobe, u_bsdf)
+    wi_b = frame.to_world(wi_b_l)
+    f_b = f_b * vm.absdot(wi_b, ns)[..., None]
+    light_is_delta = ls["is_delta"]
+    try_bsdf = active & ~light_is_delta & ~spec_b & (pdf_b > 0.0) & (luminance(f_b) > 0.0)
+    o_b = vm.offset_ray_origin(p, ng, wi_b)
+    hit_b = scenemod.intersect(scene, o_b, wi_b)
+    same_light = hit_b.valid & (hit_b.light_id == lt)
+    li_surf = lightsmod.area_light_radiance(lights, hit_b.light_id, hit_b.ng, -wi_b)
+    pdf_light_b = lightsmod.pdf_li_area_scene(lights, scene, lt, p, hit_b.p, hit_b.ng)
+    # escaped ray hitting the chosen infinite light
+    if lights.env_index >= 0:
+        is_env = lt == lights.env_index
+        li_env = lightsmod.env_radiance(lights, wi_b)
+        pdf_env = lightsmod.env_pdf_li(lights, wi_b)
+        li_b = jnp.where((~hit_b.valid & is_env)[..., None], li_env,
+                         jnp.where(same_light[..., None], li_surf, 0.0))
+        pdf_light_b = jnp.where(~hit_b.valid & is_env, pdf_env,
+                                jnp.where(same_light, pdf_light_b, 0.0))
+        got_light = (~hit_b.valid & is_env) | same_light
+    else:
+        li_b = jnp.where(same_light[..., None], li_surf, 0.0)
+        pdf_light_b = jnp.where(same_light, pdf_light_b, 0.0)
+        got_light = same_light
+    w_b = power_heuristic(1.0, pdf_b, 1.0, pdf_light_b)
+    contrib_b = f_b * li_b * (w_b / jnp.maximum(pdf_b, 1e-12))[..., None]
+    ok_b = try_bsdf & got_light & (pdf_light_b > 0.0)
+    ld = ld + jnp.where(ok_b[..., None], contrib_b, 0.0)
+
+    return ld / jnp.maximum(lt_pmf, 1e-12)[..., None]

@@ -1,0 +1,396 @@
+"""Material table + wavefront BSDF dispatch.
+
+TPU-native counterpart of src/core/material.rs + src/materials/. In the
+reference only Disney has a struct and ALL concrete materials are stubs
+(src/materials/matte.rs:1 … uber.rs:1, disney.rs:82 todo!()); we implement
+the standard PBRT-v3 material set directly from the BxDF lobes in
+reflection.rs (which the reference does carry):
+
+  matte       → Lambertian / Oren–Nayar            (matte.rs)
+  plastic     → Lambertian + GGX dielectric         (plastic.rs)
+  glass       → FresnelSpecular or rough GGX R+T    (glass.rs)
+  metal       → GGX conductor                       (metal.rs)
+  mirror      → specular reflection                 (mirror.rs)
+  substrate   → FresnelBlend (Ashikhmin–Shirley)    (substrate.rs)
+  translucent → diffuse+glossy reflection+transmission (translucent.rs)
+  uber        → kd+ks+kr+kt with opacity            (uber.rs)
+
+Dispatch is data-parallel: the table stores a `kind` id per material; the
+shade stage evaluates the lobes of each kind *present in the scene*
+(static set) under lane masks — polymorphism without vtables.
+
+Texture hooks: each spatially-varying parameter has a `*_tex` id column
+(-1 = use the constant column); `resolve` applies texture lookups.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.types import Float, Int
+from ..core import vecmath as vm
+from . import bxdf
+
+MAT_MATTE = 0
+MAT_PLASTIC = 1
+MAT_GLASS = 2
+MAT_METAL = 3
+MAT_MIRROR = 4
+MAT_SUBSTRATE = 5
+MAT_TRANSLUCENT = 6
+MAT_UBER = 7
+
+_SPECULAR_KINDS = (MAT_GLASS, MAT_MIRROR, MAT_UBER)  # may sample delta lobes
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class MaterialTable:
+    kind: jnp.ndarray            # (M,) int32
+    kd: jnp.ndarray              # (M, 3) diffuse / base reflectance
+    ks: jnp.ndarray              # (M, 3) glossy reflectance
+    kr: jnp.ndarray              # (M, 3) specular reflectance (mirror/uber)
+    kt: jnp.ndarray              # (M, 3) transmittance
+    roughness: jnp.ndarray       # (M, 2) u/v roughness (0 → perfect specular)
+    eta: jnp.ndarray             # (M,) dielectric IOR (or conductor eta scale)
+    metal_eta: jnp.ndarray       # (M, 3) conductor eta
+    metal_k: jnp.ndarray         # (M, 3) conductor absorption
+    sigma: jnp.ndarray           # (M,) Oren–Nayar sigma (degrees)
+    opacity: jnp.ndarray         # (M, 3) uber opacity
+    remap_roughness: jnp.ndarray  # (M,) bool
+    kd_tex: jnp.ndarray          # (M,) int32 texture id or -1
+    ks_tex: jnp.ndarray
+    kr_tex: jnp.ndarray
+    kt_tex: jnp.ndarray
+    roughness_tex: jnp.ndarray
+    sigma_tex: jnp.ndarray
+    bump_tex: jnp.ndarray
+    kinds_present: tuple = field(metadata=dict(static=True), default=())
+
+    @property
+    def count(self):
+        return self.kind.shape[0]
+
+
+def build_materials(rows):
+    """rows: list of dicts with keys kind, kd, ks, kr, kt, roughness, eta,
+    metal_eta, metal_k, sigma, opacity, remap_roughness + *_tex ids."""
+    m = len(rows)
+
+    def col(key, default, shape=()):
+        out = np.zeros((m,) + shape, np.float32)
+        for i, r in enumerate(rows):
+            v = r.get(key, default)
+            out[i] = np.broadcast_to(np.asarray(v, np.float32), shape) if shape else v
+        return jnp.asarray(out)
+
+    def icol(key, default=-1):
+        return jnp.asarray(np.array([r.get(key, default) for r in rows], np.int32))
+
+    kinds = tuple(sorted({int(r["kind"]) for r in rows})) if rows else ()
+    return MaterialTable(
+        kind=icol("kind", MAT_MATTE),
+        kd=col("kd", 0.5, (3,)), ks=col("ks", 0.0, (3,)),
+        kr=col("kr", 0.0, (3,)), kt=col("kt", 0.0, (3,)),
+        roughness=col("roughness", 0.0, (2,)),
+        eta=col("eta", 1.5), metal_eta=col("metal_eta", 0.2, (3,)),
+        metal_k=col("metal_k", 3.9, (3,)), sigma=col("sigma", 0.0),
+        opacity=col("opacity", 1.0, (3,)),
+        remap_roughness=jnp.asarray(np.array([bool(r.get("remap_roughness", True)) for r in rows])),
+        kd_tex=icol("kd_tex"), ks_tex=icol("ks_tex"), kr_tex=icol("kr_tex"),
+        kt_tex=icol("kt_tex"), roughness_tex=icol("roughness_tex"),
+        sigma_tex=icol("sigma_tex"), bump_tex=icol("bump_tex"),
+        kinds_present=kinds,
+    )
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class LaneParams:
+    """Per-lane resolved material parameters."""
+    kind: jnp.ndarray
+    kd: jnp.ndarray
+    ks: jnp.ndarray
+    kr: jnp.ndarray
+    kt: jnp.ndarray
+    ax: jnp.ndarray
+    ay: jnp.ndarray
+    eta: jnp.ndarray
+    metal_eta: jnp.ndarray
+    metal_k: jnp.ndarray
+    sigma: jnp.ndarray
+    opacity: jnp.ndarray
+    rough_is_zero: jnp.ndarray
+
+
+def resolve(mats: MaterialTable, mid, uv=None, p=None, textures=None):
+    """Gather per-lane parameters for material ids `mid` (N,), applying
+    texture lookups where a *_tex id is set (material.rs compute-
+    scattering analog, minus lobe allocation)."""
+    mid = jnp.maximum(mid, 0)
+    kd = mats.kd[mid]
+    ks = mats.ks[mid]
+    kr = mats.kr[mid]
+    kt = mats.kt[mid]
+    rough = mats.roughness[mid]
+    sigma = mats.sigma[mid]
+    if textures is not None and uv is not None:
+        from . import textures as texmod
+        kd = texmod.apply_tex(textures, mats.kd_tex[mid], uv, p, kd)
+        ks = texmod.apply_tex(textures, mats.ks_tex[mid], uv, p, ks)
+        kr = texmod.apply_tex(textures, mats.kr_tex[mid], uv, p, kr)
+        kt = texmod.apply_tex(textures, mats.kt_tex[mid], uv, p, kt)
+        rough_rgb = texmod.apply_tex(textures, mats.roughness_tex[mid], uv, p,
+                                     jnp.concatenate([rough, rough[..., :1]], axis=-1))
+        rough = rough_rgb[..., :2]
+        sigma = texmod.apply_tex(textures, mats.sigma_tex[mid], uv, p,
+                                 sigma[..., None] * jnp.ones((1, 3), Float))[..., 0]
+    rough_is_zero = jnp.max(rough, axis=-1) < 1e-5
+    remap = mats.remap_roughness[mid]
+    ax = jnp.where(remap, bxdf.roughness_to_alpha(rough[..., 0]), rough[..., 0])
+    ay = jnp.where(remap, bxdf.roughness_to_alpha(rough[..., 1]), rough[..., 1])
+    return LaneParams(
+        kind=mats.kind[mid], kd=kd, ks=ks, kr=kr, kt=kt,
+        ax=ax, ay=ay, eta=mats.eta[mid],
+        metal_eta=mats.metal_eta[mid], metal_k=mats.metal_k[mid],
+        sigma=sigma, opacity=mats.opacity[mid],
+        rough_is_zero=rough_is_zero)
+
+
+# ------------------------------------------------------------- dispatch
+# Each kind contributes (f, pdf, sample) in the shading-local frame; the
+# wavefront combines kinds present in the scene under lane masks.
+
+_GGX = bxdf.DIST_GGX
+
+
+def _diel_fresnel(eta):
+    return lambda c: fresnel_rgb(bxdf.fresnel_dielectric(c, jnp.ones_like(eta), eta))
+
+
+def fresnel_rgb(fr):
+    return jnp.repeat(fr[..., None], 3, axis=-1)
+
+
+def _matte_f(lp, wo, wi):
+    return bxdf.oren_nayar_f(lp.kd, lp.sigma, wo, wi)
+
+
+def _matte_pdf(lp, wo, wi):
+    return bxdf.lambertian_pdf(wo, wi)
+
+
+def _matte_sample(lp, wo, u_lobe, u2):
+    wi, _, pdf = bxdf.lambertian_sample(lp.kd, wo, u2)
+    return wi, _matte_f(lp, wo, wi), pdf, jnp.zeros(pdf.shape, bool), jnp.zeros(pdf.shape, bool)
+
+
+def _plastic_f(lp, wo, wi):
+    fr = _diel_fresnel(lp.eta)
+    return bxdf.lambertian_f(lp.kd, wo, wi) + \
+        bxdf.microfacet_reflection_f(lp.ks, _GGX, lp.ax, lp.ay, fr, wo, wi)
+
+
+def _plastic_pdf(lp, wo, wi):
+    return 0.5 * (bxdf.lambertian_pdf(wo, wi) +
+                  bxdf.microfacet_reflection_pdf(_GGX, lp.ax, lp.ay, wo, wi))
+
+
+def _plastic_sample(lp, wo, u_lobe, u2):
+    use_spec = u_lobe < 0.5
+    wi_d, _, _ = bxdf.lambertian_sample(lp.kd, wo, u2)
+    wh = bxdf.mf_sample_wh(_GGX, lp.ax, lp.ay, wo, u2)
+    wi_s = vm.reflect(wo, wh)
+    wi = jnp.where(use_spec[..., None], wi_s, wi_d)
+    f = _plastic_f(lp, wo, wi)
+    pdf = _plastic_pdf(lp, wo, wi)
+    ok = bxdf.same_hemisphere(wo, wi)
+    z = jnp.zeros(pdf.shape, bool)
+    return wi, jnp.where(ok[..., None], f, 0.0), jnp.where(ok, pdf, 0.0), z, z
+
+
+def _glass_f(lp, wo, wi):
+    fr = _diel_fresnel(lp.eta)
+    rough = bxdf.microfacet_reflection_f(lp.kr, _GGX, lp.ax, lp.ay, fr, wo, wi) + \
+        bxdf.microfacet_transmission_f(lp.kt, _GGX, lp.ax, lp.ay,
+                                       jnp.ones_like(lp.eta), lp.eta, wo, wi)
+    return jnp.where(lp.rough_is_zero[..., None], 0.0, rough)
+
+
+def _glass_pdf(lp, wo, wi):
+    pdf = 0.5 * (bxdf.microfacet_reflection_pdf(_GGX, lp.ax, lp.ay, wo, wi) +
+                 bxdf.microfacet_transmission_pdf(_GGX, lp.ax, lp.ay,
+                                                  jnp.ones_like(lp.eta), lp.eta, wo, wi))
+    return jnp.where(lp.rough_is_zero, 0.0, pdf)
+
+
+def _glass_sample(lp, wo, u_lobe, u2):
+    one = jnp.ones_like(lp.eta)
+    # delta branch
+    wi_d, f_d, pdf_d, trans_d = bxdf.fresnel_specular_sample(lp.kr, lp.kt, one, lp.eta, wo, u_lobe)
+    # rough branch: choose R/T by 0.5
+    use_t = u_lobe >= 0.5
+    fr = _diel_fresnel(lp.eta)
+    wi_r, _, _ = bxdf.microfacet_reflection_sample(lp.kr, _GGX, lp.ax, lp.ay, fr, wo, u2)
+    wi_t, _, _ = bxdf.microfacet_transmission_sample(lp.kt, _GGX, lp.ax, lp.ay, one, lp.eta, wo, u2)
+    wi_rough = jnp.where(use_t[..., None], wi_t, wi_r)
+    f_rough = _glass_f(lp, wo, wi_rough)
+    pdf_rough = _glass_pdf(lp, wo, wi_rough)
+    is0 = lp.rough_is_zero
+    wi = jnp.where(is0[..., None], wi_d, wi_rough)
+    f = jnp.where(is0[..., None], f_d, f_rough)
+    pdf = jnp.where(is0, pdf_d, pdf_rough)
+    trans = jnp.where(is0, trans_d, use_t & (~bxdf.same_hemisphere(wo, wi_rough)))
+    return wi, f, pdf, is0, trans
+
+
+def _metal_f(lp, wo, wi):
+    fr = lambda c: bxdf.fresnel_conductor(c, jnp.ones_like(lp.eta), lp.metal_eta, lp.metal_k)
+    return bxdf.microfacet_reflection_f(lp.ks, _GGX, lp.ax, lp.ay, fr, wo, wi)
+
+
+def _metal_pdf(lp, wo, wi):
+    return bxdf.microfacet_reflection_pdf(_GGX, lp.ax, lp.ay, wo, wi)
+
+
+def _metal_sample(lp, wo, u_lobe, u2):
+    fr = lambda c: bxdf.fresnel_conductor(c, jnp.ones_like(lp.eta), lp.metal_eta, lp.metal_k)
+    wi, f, pdf = bxdf.microfacet_reflection_sample(lp.ks, _GGX, lp.ax, lp.ay, fr, wo, u2)
+    z = jnp.zeros(pdf.shape, bool)
+    return wi, f, pdf, z, z
+
+
+def _mirror_sample(lp, wo, u_lobe, u2):
+    wi, f, pdf = bxdf.specular_reflection_sample(lp.kr, lambda c: jnp.ones(wo.shape, Float), wo)
+    return wi, f, pdf, jnp.ones(pdf.shape, bool), jnp.zeros(pdf.shape, bool)
+
+
+def _substrate_f(lp, wo, wi):
+    return bxdf.fresnel_blend_f(lp.kd, lp.ks, _GGX, lp.ax, lp.ay, wo, wi)
+
+
+def _substrate_pdf(lp, wo, wi):
+    return bxdf.fresnel_blend_pdf(_GGX, lp.ax, lp.ay, wo, wi)
+
+
+def _substrate_sample(lp, wo, u_lobe, u2):
+    wi, f, pdf = bxdf.fresnel_blend_sample(lp.kd, lp.ks, _GGX, lp.ax, lp.ay, wo, u2, u_lobe)
+    z = jnp.zeros(pdf.shape, bool)
+    return wi, f, pdf, z, z
+
+
+def _translucent_f(lp, wo, wi):
+    return bxdf.lambertian_f(lp.kd * lp.kr, wo, wi) + \
+        bxdf.lambertian_transmission_f(lp.kd * lp.kt, wo, wi)
+
+
+def _translucent_pdf(lp, wo, wi):
+    return 0.5 * (bxdf.lambertian_pdf(wo, wi) + bxdf.lambertian_transmission_pdf(wo, wi))
+
+
+def _translucent_sample(lp, wo, u_lobe, u2):
+    use_t = u_lobe >= 0.5
+    wi_r, _, _ = bxdf.lambertian_sample(lp.kd, wo, u2)
+    wi_t, _, _ = bxdf.lambertian_transmission_sample(lp.kd, wo, u2)
+    wi = jnp.where(use_t[..., None], wi_t, wi_r)
+    f = _translucent_f(lp, wo, wi)
+    pdf = _translucent_pdf(lp, wo, wi)
+    return wi, f, pdf, jnp.zeros(pdf.shape, bool), use_t
+
+
+def _uber_f(lp, wo, wi):
+    fr = _diel_fresnel(lp.eta)
+    return lp.opacity * (bxdf.lambertian_f(lp.kd, wo, wi) +
+                         bxdf.microfacet_reflection_f(lp.ks, _GGX, lp.ax, lp.ay, fr, wo, wi))
+
+
+def _uber_weights(lp):
+    from ..core.spectrum import luminance
+    wd = luminance(lp.kd)
+    ws = luminance(lp.ks)
+    wr = luminance(lp.kr) + luminance(1.0 - lp.opacity)
+    tot = jnp.maximum(wd + ws + wr, 1e-8)
+    return wd / tot, ws / tot, wr / tot
+
+
+def _uber_pdf(lp, wo, wi):
+    wd, ws, wr = _uber_weights(lp)
+    return wd * bxdf.lambertian_pdf(wo, wi) + \
+        ws * bxdf.microfacet_reflection_pdf(_GGX, lp.ax, lp.ay, wo, wi)
+
+
+def _uber_sample(lp, wo, u_lobe, u2):
+    wd, ws, wr = _uber_weights(lp)
+    # stretch u_lobe across {diffuse, glossy, delta-reflect}
+    pick_d = u_lobe < wd
+    pick_s = (~pick_d) & (u_lobe < wd + ws)
+    pick_r = (~pick_d) & (~pick_s)
+    wi_d, _, _ = bxdf.lambertian_sample(lp.kd, wo, u2)
+    fr = _diel_fresnel(lp.eta)
+    wi_s, _, _ = bxdf.microfacet_reflection_sample(lp.ks, _GGX, lp.ax, lp.ay, fr, wo, u2)
+    wi_r, f_r, _ = bxdf.specular_reflection_sample(lp.kr, fr, wo)
+    wi = jnp.where(pick_d[..., None], wi_d, jnp.where(pick_s[..., None], wi_s, wi_r))
+    f_smooth = _uber_f(lp, wo, wi)
+    pdf_smooth = _uber_pdf(lp, wo, wi)
+    f = jnp.where(pick_r[..., None], lp.opacity * f_r, f_smooth)
+    pdf = jnp.where(pick_r, jnp.maximum(wr, 1e-8), pdf_smooth)
+    return wi, f, pdf, pick_r, jnp.zeros(pdf.shape, bool)
+
+
+_F_FNS = {MAT_MATTE: _matte_f, MAT_PLASTIC: _plastic_f, MAT_GLASS: _glass_f,
+          MAT_METAL: _metal_f, MAT_MIRROR: lambda lp, wo, wi: jnp.zeros(wo.shape, Float),
+          MAT_SUBSTRATE: _substrate_f, MAT_TRANSLUCENT: _translucent_f, MAT_UBER: _uber_f}
+_PDF_FNS = {MAT_MATTE: _matte_pdf, MAT_PLASTIC: _plastic_pdf, MAT_GLASS: _glass_pdf,
+            MAT_METAL: _metal_pdf, MAT_MIRROR: lambda lp, wo, wi: jnp.zeros(wo.shape[:-1], Float),
+            MAT_SUBSTRATE: _substrate_pdf, MAT_TRANSLUCENT: _translucent_pdf, MAT_UBER: _uber_pdf}
+_SAMPLE_FNS = {MAT_MATTE: _matte_sample, MAT_PLASTIC: _plastic_sample, MAT_GLASS: _glass_sample,
+               MAT_METAL: _metal_sample, MAT_MIRROR: _mirror_sample,
+               MAT_SUBSTRATE: _substrate_sample, MAT_TRANSLUCENT: _translucent_sample,
+               MAT_UBER: _uber_sample}
+
+
+def evaluate_f(lp: LaneParams, kinds_present, wo, wi):
+    """Non-delta BSDF value, local frame. Masked sum over kinds present."""
+    out = jnp.zeros(wo.shape, Float)
+    for k in kinds_present:
+        mask = (lp.kind == k)[..., None]
+        out = jnp.where(mask, _F_FNS[k](lp, wo, wi), out)
+    return out
+
+
+def pdf(lp: LaneParams, kinds_present, wo, wi):
+    out = jnp.zeros(wo.shape[:-1], Float)
+    for k in kinds_present:
+        mask = lp.kind == k
+        out = jnp.where(mask, _PDF_FNS[k](lp, wo, wi), out)
+    return out
+
+
+def sample(lp: LaneParams, kinds_present, wo, u_lobe, u2):
+    """Sample the BSDF. Returns (wi, f, pdf, is_specular, is_transmission)."""
+    n = wo.shape[:-1]
+    wi = jnp.zeros(wo.shape, Float)
+    f = jnp.zeros(wo.shape, Float)
+    pdf_out = jnp.zeros(n, Float)
+    spec = jnp.zeros(n, bool)
+    trans = jnp.zeros(n, bool)
+    for k in kinds_present:
+        mask = lp.kind == k
+        wi_k, f_k, pdf_k, spec_k, trans_k = _SAMPLE_FNS[k](lp, wo, u_lobe, u2)
+        wi = jnp.where(mask[..., None], wi_k, wi)
+        f = jnp.where(mask[..., None], f_k, f)
+        pdf_out = jnp.where(mask, pdf_k, pdf_out)
+        spec = jnp.where(mask, spec_k, spec)
+        trans = jnp.where(mask, trans_k, trans)
+    return wi, f, pdf_out, spec, trans
+
+
+def eta_scale_on_transmit(lp: LaneParams, wo_z):
+    """eta² factor applied to the RR throughput on specular transmission
+    (path.rs:140-152 etaScale semantics)."""
+    eta = lp.eta
+    return jnp.where(wo_z > 0.0, eta * eta, 1.0 / jnp.maximum(eta * eta, 1e-8))
