@@ -29,7 +29,7 @@ from ..shade import materials as matmod
 from . import common
 
 
-def li(scene, o, d, pixel_id, sample_idx, cfg, rr_start=3):
+def li(scene, o, d, pixel_id, sample_idx, cfg, rr_start=3, return_stats=False):
     lights = scene.lights
     kinds = scene.materials.kinds_present
     n = pixel_id.shape
@@ -39,8 +39,12 @@ def li(scene, o, d, pixel_id, sample_idx, cfg, rr_start=3):
     active = jnp.ones(n, bool)
     specular_bounce = jnp.zeros(n, bool)
     eta_scale = jnp.ones(n, Float)
+    rays_traced = jnp.zeros((), Float)
 
     for bounce in range(cfg.max_depth):
+        # closest-hit for every live lane + 2 NEE rays (shadow + BSDF
+        # MIS ray inside estimate_direct) for lanes that reach shading.
+        rays_traced = rays_traced + jnp.sum(active.astype(Float))
         hit = scenemod.intersect(scene, o, d)
         wo = -d
 
@@ -68,6 +72,7 @@ def li(scene, o, d, pixel_id, sample_idx, cfg, rr_start=3):
             scene, lights, lp, kinds, frame, hit.p, hit.ns, hit.ng, wo,
             lt, pmf, u_light, u_nee_bsdf, u_nee_lobe, active)
         L = L + jnp.where(active[..., None], beta * ld, 0.0)
+        rays_traced = rays_traced + 2.0 * jnp.sum(active.astype(Float))
 
         # --- BSDF sampling for the continuation ray (path.rs:127-152)
         u_bsdf = smp.sample_2d(cfg.sampler, pixel_id, sample_idx, smp.bounce_dim(bounce, 0))
@@ -97,6 +102,8 @@ def li(scene, o, d, pixel_id, sample_idx, cfg, rr_start=3):
         o = vm.offset_ray_origin(hit.p, hit.ng, wi)
         d = wi
 
+    if return_stats:
+        return L, {"rays_traced": rays_traced}
     return L
 
 
