@@ -35,7 +35,17 @@ class SceneBuilder:
         self._env_image = None
         self._env_to_world = None
         self._media = None
+        self._textures = None
         self.use_bvh = False
+
+    @property
+    def textures(self):
+        """Lazily-created TextureBuilder; pass texture ids to material
+        *_tex kwargs (e.g. kd_tex=b.textures.checkerboard(...))."""
+        from .shade.textures import TextureBuilder
+        if self._textures is None:
+            self._textures = TextureBuilder()
+        return self._textures
 
     # ---- materials -----------------------------------------------------
     def material(self, **kw):
@@ -211,9 +221,12 @@ class SceneBuilder:
                                         env_image=self._env_image,
                                         env_to_world=self._env_to_world)
         bvh_arrays = None
+        cluster_set = None
         if (bvh if bvh is not None else self.use_bvh) and tri is not None:
-            from .geom import bvh as bvhmod
-            bvh_arrays = bvhmod.build_bvh(np.concatenate(self._verts),
-                                          np.concatenate(self._tris))
+            from .geom import cluster as clmod
+            cluster_set = clmod.build_clusters(np.concatenate(self._verts),
+                                               np.concatenate(self._tris))
+        textures = self._textures.build() if self._textures is not None else None
         return scenemod.make_scene(tri=tri, quad=quad, materials=materials,
-                                   lights=lights, media=self._media, bvh=bvh_arrays)
+                                   lights=lights, media=self._media, bvh=bvh_arrays,
+                                   textures=textures, clusters=cluster_set)

@@ -43,8 +43,9 @@ class BVHArrays(NamedTuple):
         return self.bounds_min.shape[0]
 
 
-def build_bvh(positions, indices, max_leaf=MAX_LEAF_PRIMS):
-    """Binned-SAH build over triangles, host-side numpy.
+def build_bvh(positions, indices, max_leaf=MAX_LEAF_PRIMS, method="sah"):
+    """Binned-SAH build over triangles — native C++ builder when
+    available (geom/native/bvh_builder.cc), numpy fallback otherwise.
 
     positions (V,3) float32, indices (T,3) int32 → BVHArrays.
     """
@@ -56,6 +57,17 @@ def build_bvh(positions, indices, max_leaf=MAX_LEAF_PRIMS):
     p2 = positions[indices[:, 2]]
     prim_min = np.minimum(np.minimum(p0, p1), p2)
     prim_max = np.maximum(np.maximum(p0, p1), p2)
+
+    if t:
+        from . import native_build
+        res = native_build.build_bvh_native(prim_min, prim_max, max_leaf, method)
+        if res is not None:
+            bmin, bmax, rp, nn, ax, order = res
+            return BVHArrays(
+                bounds_min=jnp.asarray(bmin), bounds_max=jnp.asarray(bmax),
+                right_or_prim=jnp.asarray(rp), n_prims=jnp.asarray(nn),
+                axis=jnp.asarray(ax), prim_order=jnp.asarray(order))
+
     centroid = 0.5 * (prim_min + prim_max)
 
     order = np.arange(t, dtype=np.int32)
@@ -200,7 +212,10 @@ def _traverse(bvh: BVHArrays, tri, o, d, t_min, t_max, any_hit):
         b1=jnp.zeros(n, Float), b2=jnp.zeros(n, Float),
         hit=jnp.zeros(n, bool))
 
-    lane = tuple(jnp.indices(n))
+    # stack slot index grid — pushes/pops are one-hot selects along the
+    # slot axis (a TPU scatter would serialise; a 64-wide select is a
+    # couple of VPU ops)
+    slot_iota = jax.lax.broadcasted_iota(Int, n + (STACK_DEPTH,), len(n))
 
     def cond(s):
         return jnp.any(s.cur >= 0)
@@ -236,15 +251,15 @@ def _traverse(bvh: BVHArrays, tri, o, d, t_min, t_max, any_hit):
         near = jnp.where(go_first_right, rp, ci + 1)
         far = jnp.where(go_first_right, ci + 1, rp)
         push = hitbox & ~is_leaf
-        stack = s.stack.at[lane + (jnp.clip(s.sp, 0, STACK_DEPTH - 1),)].set(
-            jnp.where(push, far, s.stack[lane + (jnp.clip(s.sp, 0, STACK_DEPTH - 1),)]))
+        stack = jnp.where((slot_iota == s.sp[..., None]) & push[..., None],
+                          far[..., None], s.stack)
         sp = s.sp + push.astype(Int)
 
         # early-out for any-hit queries
         done_early = hitb if any_hit else jnp.zeros(n, bool)
 
         can_pop = (sp > 0) & active & ~done_early
-        popped = stack[lane + (jnp.clip(sp - 1, 0, STACK_DEPTH - 1),)]
+        popped = jnp.sum(jnp.where(slot_iota == (sp - 1)[..., None], stack, 0), axis=-1)
         cur_next = jnp.where(push & ~done_early, near,
                              jnp.where(can_pop, popped, -1))
         sp = jnp.where(push | ~can_pop, sp, sp - 1)

@@ -28,14 +28,17 @@ class Scene(NamedTuple):
     tri: TriangleSoA
     quad: QuadricSoA
     bvh: Any                  # Optional[BVHArrays] — None → brute force
+    clusters: Any             # Optional[cluster.ClusterSet] — preferred tracer
     materials: Any            # shade.materials.MaterialTable
     lights: Any               # lights.types.LightTable
     media: Any                # shade.media.MediumTable or None
+    textures: Any             # shade.textures.TextureTable or None
     world_center: jnp.ndarray
     world_radius: jnp.ndarray
 
 
-def make_scene(tri=None, quad=None, materials=None, lights=None, media=None, bvh=None):
+def make_scene(tri=None, quad=None, materials=None, lights=None, media=None, bvh=None,
+               textures=None, clusters=None):
     import numpy as np
     tri = tri if tri is not None else empty_triangles()
     quad = quad if quad is not None else empty_quadrics()
@@ -55,8 +58,8 @@ def make_scene(tri=None, quad=None, materials=None, lights=None, media=None, bvh
         radius = float(np.linalg.norm(hi - center)) + 1e-4
     else:
         center, radius = np.zeros(3), 1.0
-    return Scene(tri=tri, quad=quad, bvh=bvh, materials=materials,
-                 lights=lights, media=media,
+    return Scene(tri=tri, quad=quad, bvh=bvh, clusters=clusters, materials=materials,
+                 lights=lights, media=media, textures=textures,
                  world_center=jnp.asarray(center, Float),
                  world_radius=jnp.asarray(radius, Float))
 
@@ -81,7 +84,11 @@ def intersect(scene: Scene, o, d, t_min=None, t_max=None) -> Hit:
     best_t = t_max
 
     if scene.tri.count:
-        if scene.bvh is not None:
+        if scene.clusters is not None:
+            from . import cluster as clmod
+            t_hit, t_t, t_idx, b1, b2 = clmod.intersect(
+                scene.clusters, scene.tri, o, d, t_min, best_t)
+        elif scene.bvh is not None:
             from . import bvh as bvhmod
             t_hit, t_t, t_idx, b1, b2 = bvhmod.traverse_closest(
                 scene.bvh, scene.tri, o, d, t_min, best_t)
@@ -130,7 +137,10 @@ def occluded(scene: Scene, o, d, t_min=None, t_max=None):
     t_max = jnp.broadcast_to(jnp.asarray(INF if t_max is None else t_max, Float), n)
     occ = jnp.zeros(n, bool)
     if scene.tri.count:
-        if scene.bvh is not None:
+        if scene.clusters is not None:
+            from . import cluster as clmod
+            occ = occ | clmod.occluded(scene.clusters, scene.tri, o, d, t_min, t_max)
+        elif scene.bvh is not None:
             from . import bvh as bvhmod
             occ = occ | bvhmod.traverse_any(scene.bvh, scene.tri, o, d, t_min, t_max)
         else:

@@ -9,6 +9,7 @@ use Möller–Trumbore in f32 (per the north-star spec) — branch-free,
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from ..core.types import Float, INF
 from ..core import vecmath as vm
@@ -34,27 +35,93 @@ def moller_trumbore(o, d, p0, p1, p2, t_min, t_max):
     return hit, jnp.where(hit, t, INF), b1, b2
 
 
+# Above this many ray×tri pairs the all-pairs test is evaluated in
+# triangle chunks so HLO temps stay bounded (~chunk × N × 4B each).
+_BRUTE_PAIR_BUDGET = 128 * 1024 * 1024
+
+
+def _tri_chunk(n_rays, n_tris):
+    n_lanes = max(int(np.prod(n_rays)) if not isinstance(n_rays, int) else n_rays, 1)
+    chunk = max(_BRUTE_PAIR_BUDGET // max(n_lanes, 1), 256)
+    return min(chunk, n_tris)
+
+
+def _padded_corners(tri, chunk):
+    """Corner arrays padded to a chunk multiple with degenerate (never-
+    hit) triangles, reshaped to (n_chunks, chunk, 3)."""
+    p0a, p1a, p2a = tri.corners()
+    t_count = p0a.shape[0]
+    n_chunks = max((t_count + chunk - 1) // chunk, 1)
+    pad = n_chunks * chunk - t_count
+    pad3 = ((0, pad), (0, 0))
+
+    def prep(a):
+        return jnp.pad(a, pad3).reshape(n_chunks, chunk, 3)
+
+    return prep(p0a), prep(p1a), prep(p2a), n_chunks
+
+
 def intersect_brute(tri, o, d, t_min, t_max):
-    """Brute-force all-pairs intersect: rays (N,3) × tris (T,…).
+    """Brute-force all-pairs intersect: rays (N,3) × tris (T,…), chunked
+    over triangles with a sequential `fori_loop` so only one chunk's
+    temporaries are ever live (an unrolled python loop lets the XLA
+    scheduler overlap every chunk and OOM).
 
     Returns (hit_any (N,), t (N,), tri_idx (N,), b1, b2). Used for small
-    scenes and as the oracle for the BVH kernels.
+    scenes and as the oracle for the accelerated tracers.
     """
-    p0, p1, p2 = tri.corners()                        # (T, 3)
-    hit, t, b1, b2 = moller_trumbore(
-        o[..., None, :], d[..., None, :], p0, p1, p2,
-        t_min[..., None], t_max[..., None])           # (N, T)
-    best = jnp.argmin(t, axis=-1)
-    take = lambda a: jnp.take_along_axis(a, best[..., None], axis=-1)[..., 0]
-    return take(hit), take(t), best.astype(jnp.int32), take(b1), take(b2)
+    import jax
+    n = o.shape[:-1]
+    t_count = tri.count
+    chunk = _tri_chunk(n, t_count)
+    p0c, p1c, p2c, n_chunks = _padded_corners(tri, chunk)
+
+    def body(ci, carry):
+        any_hit, best_t, best_i, best_b1, best_b2 = carry
+        p0 = p0c[ci]
+        p1 = p1c[ci]
+        p2 = p2c[ci]
+        hit, t, b1, b2 = moller_trumbore(
+            o[..., None, :], d[..., None, :], p0, p1, p2,
+            t_min[..., None], best_t[..., None])       # (N, chunk)
+        j = jnp.argmin(t, axis=-1)
+        take_ = lambda a: jnp.take_along_axis(a, j[..., None], axis=-1)[..., 0]
+        tj = take_(t)
+        upd = take_(hit) & (tj < best_t)
+        return (any_hit | upd,
+                jnp.where(upd, tj, best_t),
+                jnp.where(upd, j.astype(jnp.int32) + ci * chunk, best_i),
+                jnp.where(upd, take_(b1), best_b1),
+                jnp.where(upd, take_(b2), best_b2))
+
+    init = (jnp.zeros(n, bool),
+            jnp.asarray(t_max, jnp.float32) * jnp.ones(n, jnp.float32),
+            jnp.zeros(n, jnp.int32), jnp.zeros(n, jnp.float32), jnp.zeros(n, jnp.float32))
+    if n_chunks == 1:
+        out = body(0, init)
+    else:
+        out = jax.lax.fori_loop(0, n_chunks, body, init)
+    any_hit, best_t, best_i, best_b1, best_b2 = out
+    return any_hit, jnp.where(any_hit, best_t, INF), best_i, best_b1, best_b2
 
 
 def occluded_brute(tri, o, d, t_min, t_max):
-    p0, p1, p2 = tri.corners()
-    hit, _, _, _ = moller_trumbore(
-        o[..., None, :], d[..., None, :], p0, p1, p2,
-        t_min[..., None], t_max[..., None])
-    return jnp.any(hit, axis=-1)
+    import jax
+    n = o.shape[:-1]
+    t_count = tri.count
+    chunk = _tri_chunk(n, t_count)
+    p0c, p1c, p2c, n_chunks = _padded_corners(tri, chunk)
+
+    def body(ci, occ):
+        hit, _, _, _ = moller_trumbore(
+            o[..., None, :], d[..., None, :], p0c[ci], p1c[ci], p2c[ci],
+            t_min[..., None], t_max[..., None])
+        return occ | jnp.any(hit, axis=-1)
+
+    init = jnp.zeros(n, bool)
+    if n_chunks == 1:
+        return body(0, init)
+    return jax.lax.fori_loop(0, n_chunks, body, init)
 
 
 def shading_geometry(tri, o, d, tri_idx, t, b1, b2):

@@ -1,0 +1,57 @@
+"""Tile×cluster tracer vs brute force (the same validation contract the
+BVH traversal has — SURVEY.md §4.1)."""
+import numpy as np
+import jax.numpy as jnp
+
+from pbrt_tpu.geom import cluster as clmod
+from pbrt_tpu.geom import triangle as trimod
+from tests.test_geometry import _tri_soa, _random_soup
+
+
+def _rand_rays(n, seed, spread=10.0):
+    r = np.random.RandomState(seed)
+    o = jnp.asarray(r.rand(n, 3) * spread, jnp.float32)
+    d = r.randn(n, 3)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    return o, jnp.asarray(d, jnp.float32)
+
+
+def test_cluster_matches_brute_closest():
+    verts, idx = _random_soup(700, seed=5)
+    tri = _tri_soa(verts, idx)
+    cs = clmod.build_clusters(verts, idx, k=32)
+    o, d = _rand_rays(777, seed=6)
+    t_min = jnp.full((777,), 1e-4, jnp.float32)
+    t_max = jnp.full((777,), np.inf, jnp.float32)
+    bh, bt, bi, bb1, bb2 = trimod.intersect_brute(tri, o, d, t_min, t_max)
+    ch, ct, ci, cb1, cb2 = clmod.intersect(cs, tri, o, d, t_min, t_max)
+    np.testing.assert_array_equal(np.asarray(bh), np.asarray(ch))
+    m = np.asarray(bh)
+    np.testing.assert_allclose(np.asarray(bt)[m], np.asarray(ct)[m], rtol=1e-4)
+    assert (np.asarray(bi)[m] == np.asarray(ci)[m]).mean() > 0.99
+
+
+def test_cluster_matches_brute_anyhit():
+    verts, idx = _random_soup(400, seed=7)
+    tri = _tri_soa(verts, idx)
+    cs = clmod.build_clusters(verts, idx, k=64)
+    o, d = _rand_rays(512, seed=8)
+    t_min = jnp.full((512,), 1e-4, jnp.float32)
+    t_max = jnp.full((512,), 5.0, jnp.float32)
+    occ_b = trimod.occluded_brute(tri, o, d, t_min, t_max)
+    occ_c = clmod.occluded(cs, tri, o, d, t_min, t_max)
+    np.testing.assert_array_equal(np.asarray(occ_b), np.asarray(occ_c))
+
+
+def test_cluster_2d_lane_shape():
+    verts, idx = _random_soup(100, seed=9)
+    tri = _tri_soa(verts, idx)
+    cs = clmod.build_clusters(verts, idx, k=16)
+    o, d = _rand_rays(6 * 50, seed=10)
+    o = o.reshape(6, 50, 3)
+    d = d.reshape(6, 50, 3)
+    t_min = jnp.full((6, 50), 1e-4, jnp.float32)
+    t_max = jnp.full((6, 50), np.inf, jnp.float32)
+    ch, ct, ci, _, _ = clmod.intersect(cs, tri, o, d, t_min, t_max)
+    bh, bt, bi, _, _ = trimod.intersect_brute(tri, o, d, t_min, t_max)
+    np.testing.assert_array_equal(np.asarray(bh), np.asarray(ch))
