@@ -142,6 +142,22 @@ class SceneBuilder:
                                  [max(abs(z_min), abs(z_max)), z_min, z_max, phi_max, a, c],
                                  material, light)
 
+    # ---- media ---------------------------------------------------------
+    def set_homogeneous_medium(self, sigma_a, sigma_s, g=0.0):
+        """Global scene-filling homogeneous medium (BASELINE config 4)."""
+        from .shade import media as medmod
+        self._media = medmod.build_media([
+            dict(kind=medmod.MEDIUM_HOMOGENEOUS, sigma_a=sigma_a, sigma_s=sigma_s, g=g)])
+        return 0
+
+    def set_grid_medium(self, density, sigma_a, sigma_s, g=0.0, world_to_medium=None, scale=1.0):
+        from .shade import media as medmod
+        row = dict(kind=medmod.MEDIUM_GRID, sigma_a=sigma_a, sigma_s=sigma_s, g=g, scale=scale)
+        if world_to_medium is not None:
+            row["world_to_medium"] = world_to_medium
+        self._media = medmod.build_media([row], grid=density)
+        return 0
+
     # ---- lights --------------------------------------------------------
     def point_light(self, p, intensity):
         self._lights.append(dict(kind=lightsmod.LIGHT_POINT, p=p, I=intensity))

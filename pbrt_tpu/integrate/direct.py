@@ -31,7 +31,7 @@ def li(scene, o, d, pixel_id, sample_idx, cfg, strategy="one"):
                        lightsmod.env_radiance(lights, d))
     frame = common.shading_frame(hit)
     lp = matmod.resolve(scene.materials, hit.material_id, hit.uv, hit.p,
-                        getattr(scene, "textures", None))
+                        scene.textures)
     kinds = scene.materials.kinds_present
     active = hit.valid & (hit.material_id >= 0)
 

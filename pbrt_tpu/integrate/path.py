@@ -60,7 +60,7 @@ def li(scene, o, d, pixel_id, sample_idx, cfg, rr_start=3, return_stats=False):
 
         frame = common.shading_frame(hit)
         lp = matmod.resolve(scene.materials, hit.material_id, hit.uv, hit.p,
-                            getattr(scene, "textures", None))
+                            scene.textures)
 
         # --- NEE with MIS (path.rs:100-126 → integrator.rs:92-266)
         u_sel = smp.sample_1d(cfg.sampler, pixel_id, sample_idx, smp.bounce_dim(bounce, 5))

@@ -1,0 +1,217 @@
+"""Participating media: homogeneous + density grids, HG phase function.
+
+TPU-native counterpart of src/core/medium.rs + src/media/. Provides
+  * HenyeyGreenstein phase eval/sampling (medium.rs:52-86),
+  * homogeneous media: closed-form Beer–Lambert Tr and distance sampling
+    (homogeneous.rs:13-75 — implementing the correct PBRT-v3 math, NOT
+    the reference's `.max(Float::MAX)` / negated-`t` bugs at
+    homogeneous.rs:37,46),
+  * grid density media: trilinear density, ratio-tracking Tr and
+    delta-tracking distance sampling (grid.rs:14-193) with bounded
+    `fori_loop` steps.
+
+A MediumTable is global to the scene; medium ids are attached to the
+camera/scene ("exterior") for config-4 style single-medium scenes and,
+later, per-primitive interface ids.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.types import Float, Int, PI, INV_4PI, clamp
+from ..core import vecmath as vm
+from ..core.rng import uniform_float, hash_combine
+
+MEDIUM_HOMOGENEOUS = 0
+MEDIUM_GRID = 1
+
+_MAX_TRACK_STEPS = 256
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class MediumTable:
+    kind: jnp.ndarray        # (M,) int32
+    sigma_a: jnp.ndarray     # (M, 3)
+    sigma_s: jnp.ndarray     # (M, 3)
+    g: jnp.ndarray           # (M,)
+    # grid medium (single grid supported; id slot)
+    grid: jnp.ndarray        # (Nz, Ny, Nx) density
+    grid_slot: jnp.ndarray   # (M,) int32 — 0 if this medium uses `grid`
+    world_to_medium: jnp.ndarray  # (M, 4, 4)
+    sigma_scale: jnp.ndarray      # (M,) grid density scale
+    kinds_present: tuple = field(metadata=dict(static=True), default=())
+
+    @property
+    def count(self):
+        return self.kind.shape[0]
+
+
+def build_media(rows, grid=None):
+    """rows: dicts(kind, sigma_a, sigma_s, g, world_to_medium?, scale?)."""
+    m = len(rows)
+
+    def col(key, default, shape=()):
+        out = np.zeros((m,) + shape, np.float32)
+        for i, r in enumerate(rows):
+            out[i] = np.broadcast_to(np.asarray(r.get(key, default), np.float32), shape) \
+                if shape else r.get(key, default)
+        return jnp.asarray(out)
+
+    w2m = np.tile(np.eye(4, dtype=np.float32), (m, 1, 1))
+    for i, r in enumerate(rows):
+        if "world_to_medium" in r:
+            w2m[i] = np.asarray(r["world_to_medium"], np.float32)
+    if grid is None:
+        grid = np.ones((1, 1, 1), np.float32)
+    return MediumTable(
+        kind=jnp.asarray(np.array([r["kind"] for r in rows], np.int32)),
+        sigma_a=col("sigma_a", 0.1, (3,)), sigma_s=col("sigma_s", 0.5, (3,)),
+        g=col("g", 0.0), grid=jnp.asarray(np.asarray(grid, np.float32)),
+        grid_slot=jnp.zeros((m,), Int),
+        world_to_medium=jnp.asarray(w2m),
+        sigma_scale=col("scale", 1.0),
+        kinds_present=tuple(sorted({int(r["kind"]) for r in rows})),
+    )
+
+
+# ------------------------------------------------------------ phase fn
+
+def hg_phase(cos_theta, g):
+    """Henyey–Greenstein phase function (medium.rs:52-66)."""
+    denom = 1.0 + g * g + 2.0 * g * cos_theta
+    return INV_4PI * (1.0 - g * g) / jnp.maximum(denom * jnp.sqrt(jnp.maximum(denom, 1e-8)), 1e-8)
+
+
+def hg_sample(wo, g, u2):
+    """Sample wi from HG around wo (medium.rs:68-86). Returns (wi, pdf)."""
+    g_safe = jnp.where(jnp.abs(g) < 1e-3, 1e-3 * jnp.sign(g + 1e-9), g)
+    sq = (1.0 - g_safe * g_safe) / (1.0 + g_safe - 2.0 * g_safe * u2[..., 0])
+    cos_theta_g = -(1.0 + g_safe * g_safe - sq * sq) / (2.0 * g_safe)
+    cos_theta_iso = 1.0 - 2.0 * u2[..., 0]
+    cos_theta = jnp.where(jnp.abs(g) < 1e-3, cos_theta_iso, cos_theta_g)
+    sin_theta = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_theta * cos_theta))
+    phi = 2.0 * PI * u2[..., 1]
+    # build frame around wo (phase measured w.r.t. forward direction wo)
+    v1, v2 = vm.coordinate_system(wo)
+    wi = vm.spherical_direction_in_frame(sin_theta, cos_theta, phi, v1, v2, wo)
+    return wi, hg_phase(cos_theta, g)
+
+
+# ------------------------------------------------- homogeneous medium
+
+def _avg(s):
+    return jnp.mean(s, axis=-1)
+
+
+def homogeneous_tr(sigma_t, dist):
+    """Beer–Lambert transmittance over segment length dist."""
+    return jnp.exp(-sigma_t * jnp.minimum(dist, 1e30)[..., None])
+
+
+def homogeneous_sample(sigma_t, sigma_s, dist, u, channel_u):
+    """Sample a medium interaction along a segment
+    (homogeneous.rs:40-74, correct PBRT-v3 semantics). Returns
+    (sampled_medium (bool), t, weight (3,)) with `weight` = β update:
+      medium event:  σ_s · Tr / pdf ;  surface event: Tr / pdf."""
+    # channel-uniform sampling of σ_t
+    nch = sigma_t.shape[-1]
+    ch = jnp.minimum((channel_u * nch).astype(Int), nch - 1)
+    sig_c = jnp.take_along_axis(sigma_t, ch[..., None], axis=-1)[..., 0]
+    t = -jnp.log(jnp.maximum(1.0 - u, 1e-10)) / jnp.maximum(sig_c, 1e-10)
+    sampled = t < dist
+    t_clamped = jnp.minimum(t, dist)
+    tr = jnp.exp(-sigma_t * t_clamped[..., None])
+    # pdf averaged over channels
+    density_med = sigma_t * tr
+    pdf_med = jnp.maximum(_avg(density_med), 1e-20)
+    pdf_surf = jnp.maximum(_avg(tr), 1e-20)
+    w_med = tr * sigma_s / pdf_med[..., None]
+    w_surf = tr / pdf_surf[..., None]
+    weight = jnp.where(sampled[..., None], w_med, w_surf)
+    return sampled, t_clamped, weight
+
+
+# ------------------------------------------------------ grid medium
+
+def grid_density(media: MediumTable, mid, p_world):
+    """Trilinear density lookup in medium space [0,1]^3 (grid.rs:60-90)."""
+    w2m = media.world_to_medium[mid]
+    pm = jnp.einsum("...ij,...j->...i", w2m[..., :3, :3], p_world) + w2m[..., :3, 3]
+    nz, ny, nx = media.grid.shape
+    g = pm * jnp.array([nx, ny, nz], Float) - 0.5
+    gi = jnp.floor(g).astype(Int)
+    gf = g - gi.astype(Float)
+
+    def d(ix, iy, iz):
+        ok = (ix >= 0) & (ix < nx) & (iy >= 0) & (iy < ny) & (iz >= 0) & (iz < nz)
+        v = media.grid[jnp.clip(iz, 0, nz - 1), jnp.clip(iy, 0, ny - 1),
+                       jnp.clip(ix, 0, nx - 1)]
+        return jnp.where(ok, v, 0.0)
+
+    x, y, z = gi[..., 0], gi[..., 1], gi[..., 2]
+    fx, fy, fz = gf[..., 0], gf[..., 1], gf[..., 2]
+    d00 = (1 - fx) * d(x, y, z) + fx * d(x + 1, y, z)
+    d10 = (1 - fx) * d(x, y + 1, z) + fx * d(x + 1, y + 1, z)
+    d01 = (1 - fx) * d(x, y, z + 1) + fx * d(x + 1, y, z + 1)
+    d11 = (1 - fx) * d(x, y + 1, z + 1) + fx * d(x + 1, y + 1, z + 1)
+    return (1 - fz) * ((1 - fy) * d00 + fy * d10) + fz * ((1 - fy) * d01 + fy * d11)
+
+
+def grid_tr(media: MediumTable, mid, o, d, dist, key):
+    """Ratio-tracking transmittance (grid.rs:95-130), bounded steps."""
+    sigma_t = _avg(media.sigma_a[mid] + media.sigma_s[mid]) * media.sigma_scale[mid]
+    inv_max = 1.0 / jnp.maximum(sigma_t, 1e-10)
+
+    def step(i, carry):
+        tr, t, alive = carry
+        u1 = uniform_float(key, jnp.uint32(2 * i))
+        t = t - jnp.log(jnp.maximum(1.0 - u1, 1e-10)) * inv_max
+        inside = t < dist
+        dens = grid_density(media, mid, o + t[..., None] * d) * media.sigma_scale[mid]
+        ratio = 1.0 - dens / jnp.maximum(sigma_t, 1e-10)
+        tr = jnp.where(alive & inside, tr * jnp.clip(ratio, 0.0, 1.0), tr)
+        alive = alive & inside & (tr > 1e-4)
+        return tr, t, alive
+
+    n = o.shape[:-1]
+    init = (jnp.ones(n, Float), jnp.zeros(n, Float), jnp.ones(n, bool))
+    tr, _, _ = jax.lax.fori_loop(0, _MAX_TRACK_STEPS, step, init)
+    return jnp.repeat(tr[..., None], 3, axis=-1)
+
+
+def grid_sample(media: MediumTable, mid, o, d, dist, key):
+    """Delta-tracking distance sampling (grid.rs:140-193). Returns
+    (sampled, t, weight) like homogeneous_sample (weight is σ_s-scaled
+    for medium events; 1 for surface events — null collisions cancel)."""
+    sigma_a = media.sigma_a[mid]
+    sigma_s = media.sigma_s[mid]
+    scale = media.sigma_scale[mid]
+    sigma_t = _avg(sigma_a + sigma_s) * scale
+    inv_max = 1.0 / jnp.maximum(sigma_t, 1e-10)
+    n = o.shape[:-1]
+
+    def step(i, carry):
+        t, sampled, alive = carry
+        u1 = uniform_float(key, jnp.uint32(2 * i))
+        u2 = uniform_float(key, jnp.uint32(2 * i + 1))
+        t_new = t - jnp.log(jnp.maximum(1.0 - u1, 1e-10)) * inv_max
+        inside = t_new < dist
+        dens = grid_density(media, mid, o + t_new[..., None] * d) * scale
+        real = u2 < dens / jnp.maximum(sigma_t, 1e-10)
+        hit_now = alive & inside & real
+        t = jnp.where(alive & inside, t_new, t)
+        sampled = sampled | hit_now
+        alive = alive & inside & ~real
+        return t, sampled, alive
+
+    init = (jnp.zeros(n, Float), jnp.zeros(n, bool), jnp.ones(n, bool))
+    t, sampled, _ = jax.lax.fori_loop(0, _MAX_TRACK_STEPS, step, init)
+    albedo = sigma_s / jnp.maximum(sigma_a + sigma_s, 1e-10)
+    weight = jnp.where(sampled[..., None], albedo, jnp.ones_like(albedo))
+    return sampled, jnp.minimum(t, dist), weight
