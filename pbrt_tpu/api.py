@@ -37,6 +37,7 @@ class SceneBuilder:
         self._media = None
         self._textures = None
         self.use_bvh = False
+        self.spatial_light_distrib = False
 
     @property
     def textures(self):
@@ -243,6 +244,10 @@ class SceneBuilder:
             cluster_set = clmod.build_clusters(np.concatenate(self._verts),
                                                np.concatenate(self._tris))
         textures = self._textures.build() if self._textures is not None else None
-        return scenemod.make_scene(tri=tri, quad=quad, materials=materials,
-                                   lights=lights, media=self._media, bvh=bvh_arrays,
-                                   textures=textures, clusters=cluster_set)
+        scene = scenemod.make_scene(tri=tri, quad=quad, materials=materials,
+                                    lights=lights, media=self._media, bvh=bvh_arrays,
+                                    textures=textures, clusters=cluster_set)
+        if self.spatial_light_distrib:
+            from .lights import distrib as distribmod
+            scene = scene._replace(light_distrib=distribmod.build_spatial(scene, lights))
+        return scene

@@ -33,12 +33,13 @@ class Scene(NamedTuple):
     lights: Any               # lights.types.LightTable
     media: Any                # shade.media.MediumTable or None
     textures: Any             # shade.textures.TextureTable or None
+    light_distrib: Any        # lights.distrib.SpatialLightDistribution or None
     world_center: jnp.ndarray
     world_radius: jnp.ndarray
 
 
 def make_scene(tri=None, quad=None, materials=None, lights=None, media=None, bvh=None,
-               textures=None, clusters=None):
+               textures=None, clusters=None, light_distrib=None):
     import numpy as np
     tri = tri if tri is not None else empty_triangles()
     quad = quad if quad is not None else empty_quadrics()
@@ -60,6 +61,7 @@ def make_scene(tri=None, quad=None, materials=None, lights=None, media=None, bvh
         center, radius = np.zeros(3), 1.0
     return Scene(tri=tri, quad=quad, bvh=bvh, clusters=clusters, materials=materials,
                  lights=lights, media=media, textures=textures,
+                 light_distrib=light_distrib,
                  world_center=jnp.asarray(center, Float),
                  world_radius=jnp.asarray(radius, Float))
 

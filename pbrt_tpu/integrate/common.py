@@ -56,6 +56,20 @@ def select_light_power(lights, power_dist, u):
     return idx.astype(jnp.int32), pmf
 
 
+def select_light(scene, strategy, p, u, world_radius=None):
+    """Strategy dispatch (lightdistrib.rs:222-232 factory):
+    uniform | power | spatial."""
+    lights = scene.lights
+    if strategy == "power":
+        from ..lights.distrib import power_distribution
+        dist = power_distribution(lights, scene.world_radius)
+        return select_light_power(lights, dist, u)
+    if strategy == "spatial" and scene.light_distrib is not None:
+        from ..lights.distrib import spatial_lookup_sample
+        return spatial_lookup_sample(scene.light_distrib, p, u)
+    return select_light_uniform(lights, u)
+
+
 def estimate_direct(scene, lights, lp, kinds_present, frame, p, ns, ng, wo,
                     lt, lt_pmf, u_light, u_bsdf, u_lobe, active,
                     handle_media=False):

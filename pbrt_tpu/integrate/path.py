@@ -29,10 +29,25 @@ from ..shade import materials as matmod
 from . import common
 
 
-def li(scene, o, d, pixel_id, sample_idx, cfg, rr_start=3, return_stats=False):
+def default_provider(cfg, pixel_id, sample_idx):
+    """Sample provider: (bounce, slot) → uniforms from the stateless
+    sampler. MLT substitutes a primary-sample-vector provider (mlt.py)."""
+    def sample1(bounce, slot):
+        return smp.sample_1d(cfg.sampler, pixel_id, sample_idx, smp.bounce_dim(bounce, slot))
+
+    def sample2(bounce, slot):
+        return smp.sample_2d(cfg.sampler, pixel_id, sample_idx, smp.bounce_dim(bounce, slot))
+
+    return sample1, sample2
+
+
+def li(scene, o, d, pixel_id, sample_idx, cfg, rr_start=3, return_stats=False,
+       provider=None):
     lights = scene.lights
     kinds = scene.materials.kinds_present
     n = pixel_id.shape
+    sample1, sample2 = provider if provider is not None else \
+        default_provider(cfg, pixel_id, sample_idx)
 
     L = jnp.zeros(o.shape, Float)
     beta = jnp.ones(o.shape, Float)
@@ -63,11 +78,11 @@ def li(scene, o, d, pixel_id, sample_idx, cfg, rr_start=3, return_stats=False):
                             scene.textures)
 
         # --- NEE with MIS (path.rs:100-126 → integrator.rs:92-266)
-        u_sel = smp.sample_1d(cfg.sampler, pixel_id, sample_idx, smp.bounce_dim(bounce, 5))
-        lt, pmf = common.select_light_uniform(lights, u_sel)
-        u_light = smp.sample_2d(cfg.sampler, pixel_id, sample_idx, smp.bounce_dim(bounce, 3))
-        u_nee_bsdf = smp.sample_2d(cfg.sampler, pixel_id, sample_idx, smp.bounce_dim(bounce, 6))
-        u_nee_lobe = smp.sample_1d(cfg.sampler, pixel_id, sample_idx, smp.bounce_dim(bounce, 2))
+        u_sel = sample1(bounce, 5)
+        lt, pmf = common.select_light(scene, cfg.light_strategy, hit.p, u_sel)
+        u_light = sample2(bounce, 3)
+        u_nee_bsdf = sample2(bounce, 6)
+        u_nee_lobe = sample1(bounce, 2)
         ld = common.estimate_direct(
             scene, lights, lp, kinds, frame, hit.p, hit.ns, hit.ng, wo,
             lt, pmf, u_light, u_nee_bsdf, u_nee_lobe, active)
@@ -75,8 +90,8 @@ def li(scene, o, d, pixel_id, sample_idx, cfg, rr_start=3, return_stats=False):
         rays_traced = rays_traced + 2.0 * jnp.sum(active.astype(Float))
 
         # --- BSDF sampling for the continuation ray (path.rs:127-152)
-        u_bsdf = smp.sample_2d(cfg.sampler, pixel_id, sample_idx, smp.bounce_dim(bounce, 0))
-        u_lobe = smp.sample_1d(cfg.sampler, pixel_id, sample_idx, smp.bounce_dim(bounce, 2))
+        u_bsdf = sample2(bounce, 0)
+        u_lobe = sample1(bounce, 2)
         wo_l = frame.to_local(wo)
         wi_l, f, pdf, spec, trans = matmod.sample(lp, kinds, wo_l, u_lobe, u_bsdf)
         wi = frame.to_world(wi_l)
@@ -93,7 +108,7 @@ def li(scene, o, d, pixel_id, sample_idx, cfg, rr_start=3, return_stats=False):
         if bounce >= rr_start:
             rr_beta = vm.max_component(beta * eta_scale[..., None])
             q = jnp.maximum(0.05, 1.0 - rr_beta)
-            u_rr = smp.sample_1d(cfg.sampler, pixel_id, sample_idx, smp.bounce_dim(bounce, 4))
+            u_rr = sample1(bounce, 4)
             survive = u_rr >= q
             beta = jnp.where((active & survive)[..., None],
                              beta / jnp.maximum(1.0 - q, 1e-6)[..., None], beta)

@@ -351,6 +351,117 @@ def pdf_li_area_scene(lights: LightTable, scene, light_id, p_ref, p_hit, ng_hit)
     return pdf
 
 
+def sample_le(lights: LightTable, scene, lt, u_pos, u_dir, world_radius):
+    """Sample an emitted ray from light `lt` (light.rs sample_le, per
+    concrete impls in src/lights/*). Returns dict(o, d, ng_l, le,
+    pdf_pos, pdf_dir) — used by SPPM's photon pass and BDPT light
+    subpaths."""
+    from ..core.sampling import (cosine_sample_hemisphere, uniform_sample_sphere,
+                                 concentric_sample_disk, uniform_sample_cone,
+                                 uniform_cone_pdf, cosine_hemisphere_pdf)
+    n = lt.shape
+    kind = lights.kind[lt]
+    lp = lights.p[lt]
+    ldir = lights.direction[lt]
+    emit = lights.emit[lt]
+
+    o = jnp.zeros(n + (3,), Float)
+    d = jnp.zeros(n + (3,), Float)
+    ng_l = jnp.zeros(n + (3,), Float)
+    le = jnp.zeros(n + (3,), Float)
+    pdf_pos = jnp.zeros(n, Float)
+    pdf_dir = jnp.zeros(n, Float)
+
+    def put(mask, o_k, d_k, ng_k, le_k, pp, pd):
+        nonlocal o, d, ng_l, le, pdf_pos, pdf_dir
+        o = jnp.where(mask[..., None], o_k, o)
+        d = jnp.where(mask[..., None], d_k, d)
+        ng_l = jnp.where(mask[..., None], ng_k, ng_l)
+        le = jnp.where(mask[..., None], le_k, le)
+        pdf_pos = jnp.where(mask, pp, pdf_pos)
+        pdf_dir = jnp.where(mask, pd, pdf_dir)
+
+    kp = lights.kinds_present
+    if LIGHT_POINT in kp:
+        mask = kind == LIGHT_POINT
+        d_k = uniform_sample_sphere(u_dir)
+        put(mask, lp, d_k, d_k, emit, jnp.ones(n, Float), jnp.full(n, INV_4PI, Float))
+    if LIGHT_SPOT in kp:
+        mask = kind == LIGHT_SPOT
+        ce = lights.cos_end[lt]
+        w_local = uniform_sample_cone(u_dir, ce)
+        t1, t2 = vm.coordinate_system(ldir)
+        d_k = w_local[..., 0:1] * t1 + w_local[..., 1:2] * t2 + w_local[..., 2:3] * ldir
+        cs = lights.cos_start[lt]
+        ct = vm.dot(d_k, ldir)
+        delta_t = clamp((ct - ce) / jnp.maximum(cs - ce, 1e-6), 0.0, 1.0)
+        falloff = jnp.where(ct < ce, 0.0, jnp.where(ct > cs, 1.0, delta_t ** 4))
+        put(mask, lp, d_k, d_k, emit * falloff[..., None],
+            jnp.ones(n, Float), uniform_cone_pdf(ce))
+    if LIGHT_DISTANT in kp:
+        mask = kind == LIGHT_DISTANT
+        # point on a world-radius disk perpendicular to the direction
+        t1, t2 = vm.coordinate_system(ldir)
+        cd = concentric_sample_disk(u_pos)
+        o_k = (cd[..., 0:1] * t1 + cd[..., 1:2] * t2) * world_radius + ldir * world_radius
+        d_k = -ldir
+        put(mask, o_k, d_k, d_k, emit,
+            jnp.full(n, 1.0, Float) / (PI * world_radius * world_radius),
+            jnp.ones(n, Float))
+    if LIGHT_AREA_TRI in kp:
+        mask = kind == LIGHT_AREA_TRI
+        # pick tri ∝ area then cosine-sample the outgoing direction
+        cdf = lights.em_tri_cdf[lt]
+        u0 = u_pos[..., 0]
+        slot = jnp.clip(jnp.sum((cdf <= u0[..., None]).astype(jnp.int32), axis=-1) - 1,
+                        0, lights.em_tri_idx.shape[1] - 1)
+        c0 = jnp.take_along_axis(cdf, slot[..., None], axis=-1)[..., 0]
+        c1 = jnp.take_along_axis(cdf, slot[..., None] + 1, axis=-1)[..., 0]
+        u0r = (u0 - c0) / jnp.maximum(c1 - c0, 1e-9)
+        tri_id = jnp.maximum(
+            jnp.take_along_axis(lights.em_tri_idx[lt], slot[..., None], axis=-1)[..., 0], 0)
+        from ..geom.triangle import sample_triangles
+        pl, ngl, _ = sample_triangles(scene.tri, tri_id,
+                                      jnp.stack([u0r, u_pos[..., 1]], axis=-1))
+        w_local = cosine_sample_hemisphere(u_dir)
+        t1, t2 = vm.coordinate_system(ngl)
+        d_k = w_local[..., 0:1] * t1 + w_local[..., 1:2] * t2 + w_local[..., 2:3] * ngl
+        pdf_p = 1.0 / jnp.maximum(lights.total_area[lt], 1e-12)
+        pdf_d = cosine_hemisphere_pdf(jnp.maximum(w_local[..., 2], 0.0))
+        put(mask, pl, d_k, ngl, emit, pdf_p, pdf_d)
+    if LIGHT_AREA_SPHERE in kp:
+        mask = kind == LIGHT_AREA_SPHERE
+        qid = lights.prim_start[lt]
+        center = scene.quad.obj_to_world[qid][..., :3, 3]
+        radius = scene.quad.params[qid, ..., 0]
+        n_sph = uniform_sample_sphere(u_pos)
+        pl = center + radius[..., None] * n_sph
+        w_local = cosine_sample_hemisphere(u_dir)
+        t1, t2 = vm.coordinate_system(n_sph)
+        d_k = w_local[..., 0:1] * t1 + w_local[..., 1:2] * t2 + w_local[..., 2:3] * n_sph
+        pdf_p = 1.0 / jnp.maximum(lights.total_area[lt], 1e-12)
+        pdf_d = cosine_hemisphere_pdf(jnp.maximum(w_local[..., 2], 0.0))
+        put(mask, pl, d_k, n_sph, emit, pdf_p, pdf_d)
+    if LIGHT_INFINITE in kp:
+        mask = kind == LIGHT_INFINITE
+        # direction from the env map, origin on the world-disk behind it
+        uv, map_pdf = lights.env_dist.sample_continuous(u_dir)
+        theta = uv[..., 1] * PI
+        phi = uv[..., 0] * 2.0 * PI
+        st, ct = jnp.sin(theta), jnp.cos(theta)
+        wl = jnp.stack([st * jnp.cos(phi), st * jnp.sin(phi), ct], axis=-1)
+        w_world = -jnp.einsum("ij,...j->...i", lights.env_to_world, wl)
+        t1, t2 = vm.coordinate_system(-w_world)
+        cd = concentric_sample_disk(u_pos)
+        o_k = scene.world_center + world_radius * \
+            (cd[..., 0:1] * t1 + cd[..., 1:2] * t2 - w_world)
+        pdf_d = jnp.where(st > 1e-7, map_pdf / (2.0 * PI * PI * jnp.maximum(st, 1e-7)), 0.0)
+        le_k = emit * _env_lookup_uv(lights.env_image, uv)
+        put(mask, o_k, w_world, w_world, le_k,
+            1.0 / (PI * world_radius * world_radius), pdf_d)
+    return dict(o=o, d=d, ng_l=ng_l, le=le, pdf_pos=pdf_pos, pdf_dir=pdf_dir)
+
+
 def power(lights: LightTable, world_radius):
     """Approximate emitted power per light (for the power distribution,
     integrator.rs:268-292)."""
