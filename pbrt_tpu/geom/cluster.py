@@ -1,30 +1,34 @@
 """Tile×cluster tracer — the TPU-native acceleration structure.
 
 This replaces pointer-chasing BVH traversal (src/accelerators/bvh.rs:
-828-932) with a formulation built for the TPU's strengths (dense VPU/MXU
-math, fast sorts, slab-contiguous memory) and around its weakness
-(per-lane divergent gathers):
+828-932) with a formulation built around the TPU's strengths (dense VPU
+math, fast sorts, contiguous block fetches) and its weakness (per-lane
+divergent gathers):
 
   1. triangles are reordered by the SAH builder's depth-first prim order
-     (geom/bvh.py) and grouped into fixed-size spatially-coherent
-     *clusters*; cluster AABBs play the role of BVH nodes,
-  2. rays are sorted by a (direction-octant, origin-Morton) key and
-     blocked into *tiles* of TR rays — the wavefront analog of the
-     reference's coherent 16×16 image tiles (parallel.rs),
-  3. a dense (tile, cluster) slab pass computes, per tile, which
-     clusters any ray enters and at what entry t,
-  4. per tile, clusters are processed in ascending-t order in chunks:
-     each round gathers CH whole clusters (contiguous blocks — a
-     streaming fetch, not a divergent gather) and runs a dense
-     Möller–Trumbore of (TR rays × CH·K tris) on the vector units,
+     (geom/bvh.py / native C++ builder) and grouped into fixed-size
+     spatially-coherent *clusters*; cluster AABBs play the role of BVH
+     nodes,
+  2. rays are sorted by a (direction-octant, origin-Morton) key into
+     *tiles* of TR rays — the wavefront analog of the reference's
+     coherent 16×16 image tiles (parallel.rs),
+  3. a dense (tile, cluster) slab pass finds which clusters any ray of
+     the tile enters, and at what entry t,
+  4. per tile, clusters are processed in ascending-entry-t order in
+     chunks; each round fetches CH whole clusters (a streaming block
+     fetch) and runs a dense ray-triangle pass on the VPU,
   5. rounds stop when every unprocessed cluster's entry t exceeds every
-     lane's current best hit (the same ordered-traversal pruning as a
-     BVH's near-child-first descent).
+     lane's current best hit — the ordered-traversal pruning of a BVH's
+     near-child-first descent.
 
-All shapes are static; the only sequential construct is a `fori_loop`
-over rounds with masked tiles. Results are bit-identical to the
-brute-force reference (same MT kernel, same tie-break by argmin over
-ascending triangle order within a round — verified in tests).
+The inner test is *scalarised Plücker*: per triangle we precompute the
+three edge line-coordinates (U=a×b, V=b−a), the normal and plane offset;
+a ray (d, m=o×d) hits iff the three signed volumes wᵢ = d·Uᵢ + m·Vᵢ
+share a sign, with t from the plane equation. All arithmetic runs on
+(tiles, TR, CH·K) scalar planes — no trailing-3 axes, which XLA:TPU
+tiles ~8× better than vector broadcasts. Barycentrics are recovered
+after the loop by one Möller–Trumbore evaluation of each ray's winning
+triangle, keeping results bit-consistent with the brute-force reference.
 """
 from __future__ import annotations
 
@@ -39,25 +43,29 @@ from . import triangle as trimod
 
 TILE = 256          # rays per tile
 CHUNK_CLUSTERS = 8  # clusters fetched per round
+# packed per-tri feature layout (C, NF, K):
+# 0:3 U0 | 3:6 V0 | 6:9 U1 | 9:12 V1 | 12:15 U2 | 15:18 V2 | 18:21 n | 21 k
+NF = 22
 
 
 class ClusterSet(NamedTuple):
-    c_p0: jnp.ndarray      # (C, K, 3) corner 0, degenerate-padded
+    packed: jnp.ndarray    # (C, NF, K) Plücker/plane features
+    c_p0: jnp.ndarray      # (C, K, 3) corners (for final barycentric pass)
     c_p1: jnp.ndarray
     c_p2: jnp.ndarray
     c_tri_id: jnp.ndarray  # (C, K) int32 original triangle id (pad 0)
     c_bmin: jnp.ndarray    # (C, 3)
     c_bmax: jnp.ndarray    # (C, 3)
-    world_min: jnp.ndarray  # (3,)
-    world_max: jnp.ndarray  # (3,)
+    world_min: jnp.ndarray
+    world_max: jnp.ndarray
 
     @property
     def n_clusters(self):
-        return self.c_p0.shape[0]
+        return self.packed.shape[0]
 
     @property
     def cluster_size(self):
-        return self.c_p0.shape[1]
+        return self.packed.shape[2]
 
 
 def build_clusters(positions, indices, prim_order=None, k=64):
@@ -80,22 +88,41 @@ def build_clusters(positions, indices, prim_order=None, k=64):
     pad = c * k - t
     order = np.concatenate([prim_order, np.zeros(pad, np.int32)])
     idx = indices[order]
-    p0 = positions[idx[:, 0]].reshape(c, k, 3)
-    p1 = positions[idx[:, 1]].reshape(c, k, 3)
-    p2 = positions[idx[:, 2]].reshape(c, k, 3)
+    p0 = positions[idx[:, 0]].astype(np.float64)
+    p1 = positions[idx[:, 1]].astype(np.float64)
+    p2 = positions[idx[:, 2]].astype(np.float64)
     if pad:
-        # degenerate padding (p0=p1=p2 ⇒ det≈0 ⇒ never hit)
-        p1.reshape(-1, 3)[t:] = p0.reshape(-1, 3)[t:]
-        p2.reshape(-1, 3)[t:] = p0.reshape(-1, 3)[t:]
+        # degenerate padding (p0=p1=p2 ⇒ zero normal ⇒ never hit)
+        p1[t:] = p0[t:]
+        p2[t:] = p0[t:]
+
+    def edge(a, b):
+        return np.cross(a, b), b - a          # (U, V)
+
+    u0, v0 = edge(p0, p1)
+    u1, v1 = edge(p1, p2)
+    u2, v2 = edge(p2, p0)
+    n = np.cross(p1 - p0, p2 - p0)
+    kplane = np.sum(n * p0, axis=-1)
+    packed = np.concatenate(
+        [u0, v0, u1, v1, u2, v2, n, kplane[:, None]], axis=1).astype(np.float32)
+    packed = packed.reshape(c, k, NF).transpose(0, 2, 1)   # (C, NF, K)
+
+    p0f = p0.astype(np.float32).reshape(c, k, 3)
+    p1f = p1.astype(np.float32).reshape(c, k, 3)
+    p2f = p2.astype(np.float32).reshape(c, k, 3)
     tri_id = order.reshape(c, k)
-    bmin = np.minimum(np.minimum(p0.min(1), p1.min(1)), p2.min(1))
-    bmax = np.maximum(np.maximum(p0.max(1), p1.max(1)), p2.max(1))
+    bmin = np.minimum(np.minimum(p0f.min(1), p1f.min(1)), p2f.min(1))
+    bmax = np.maximum(np.maximum(p0f.max(1), p1f.max(1)), p2f.max(1))
     return ClusterSet(
-        c_p0=jnp.asarray(p0), c_p1=jnp.asarray(p1), c_p2=jnp.asarray(p2),
+        packed=jnp.asarray(packed),
+        c_p0=jnp.asarray(p0f), c_p1=jnp.asarray(p1f), c_p2=jnp.asarray(p2f),
         c_tri_id=jnp.asarray(tri_id),
         c_bmin=jnp.asarray(bmin), c_bmax=jnp.asarray(bmax),
         world_min=jnp.asarray(bmin.min(0)), world_max=jnp.asarray(bmax.max(0)))
 
+
+# -------------------------------------------------------- ray coherence
 
 def _expand_bits10(v):
     v = (v | (v << jnp.uint32(16))) & jnp.uint32(0x030000FF)
@@ -106,9 +133,8 @@ def _expand_bits10(v):
 
 
 def _coherence_key(cs, o, d):
-    """uint32 sort key: 3-bit direction octant, then 27-bit origin
-    Morton code in world bounds — restores packet coherence for bounce
-    rays (SURVEY §7 'sort rays by direction octant/origin cell')."""
+    """uint32 sort key: 3-bit direction octant then 27-bit origin Morton
+    code (SURVEY §7 'sort rays by direction octant/origin cell')."""
     octant = ((d[..., 0] < 0).astype(jnp.uint32)
               | ((d[..., 1] < 0).astype(jnp.uint32) << 1)
               | ((d[..., 2] < 0).astype(jnp.uint32) << 2))
@@ -121,18 +147,9 @@ def _coherence_key(cs, o, d):
     return (octant << jnp.uint32(27)) | (morton & jnp.uint32(0x07FFFFFF))
 
 
-def _slab(bmin, bmax, o, inv_d, t_min, t_max):
-    t0 = (bmin - o) * inv_d
-    t1 = (bmax - o) * inv_d
-    tn = jnp.minimum(t0, t1)
-    tf = jnp.maximum(t0, t1)
-    t_near = jnp.maximum(jnp.max(tn, axis=-1), t_min)
-    t_far = jnp.minimum(jnp.min(tf, axis=-1) * 1.0001, t_max)
-    return t_near <= t_far, t_near
-
-
 def _prepare(cs, o, d, t_min, t_max):
-    """Flatten, sort by coherence, pad to a tile multiple."""
+    """Flatten, sort by coherence, pad to a tile multiple. Returns ray
+    component planes (NT, TILE) plus bookkeeping."""
     shp = o.shape[:-1]
     n = int(np.prod(shp)) if shp else 1
     o = o.reshape(n, 3)
@@ -142,66 +159,110 @@ def _prepare(cs, o, d, t_min, t_max):
     key = _coherence_key(cs, o, d)
     order = jnp.argsort(key)
     pad = (-n) % TILE
-    if pad:
-        order_p = jnp.concatenate([order, jnp.zeros(pad, order.dtype)])
-    else:
-        order_p = order
+    order_p = jnp.concatenate([order, jnp.zeros(pad, order.dtype)]) if pad else order
     os = o[order_p]
     ds = d[order_p]
     tmins = t_min[order_p]
     tmaxs = jnp.concatenate([t_max[order], jnp.full((pad,), -1.0, Float)]) if pad \
         else t_max[order]   # padded lanes: t_max < t_min ⇒ inert
     nt = (n + pad) // TILE
-    return (shp, n, order,
-            os.reshape(nt, TILE, 3), ds.reshape(nt, TILE, 3),
-            tmins.reshape(nt, TILE), tmaxs.reshape(nt, TILE), nt)
+    m = jnp.cross(os, ds)   # ray moment (Plücker)
+    comp = dict(
+        ox=os[:, 0].reshape(nt, TILE), oy=os[:, 1].reshape(nt, TILE),
+        oz=os[:, 2].reshape(nt, TILE),
+        dx=ds[:, 0].reshape(nt, TILE), dy=ds[:, 1].reshape(nt, TILE),
+        dz=ds[:, 2].reshape(nt, TILE),
+        mx=m[:, 0].reshape(nt, TILE), my=m[:, 1].reshape(nt, TILE),
+        mz=m[:, 2].reshape(nt, TILE),
+        tmin=tmins.reshape(nt, TILE), tmax=tmaxs.reshape(nt, TILE))
+    return shp, n, order, comp, os.reshape(nt, TILE, 3), ds.reshape(nt, TILE, 3), nt
 
 
 def _tile_cluster_pass(cs, os, ds, tmins, tmaxs):
     """Dense (tiles, clusters) coverage: does any lane of the tile enter
-    the cluster box, and the smallest entry t. Chunked over clusters."""
+    the cluster box, and the smallest entry t. Scalarised slab test."""
     nt = os.shape[0]
     c = cs.n_clusters
     inv_d = 1.0 / jnp.where(jnp.abs(ds) < 1e-12,
                             jnp.where(ds < 0, -1e-12, 1e-12), ds)
-    ch = 256
-    n_ch = (c + ch - 1) // ch
-    bmin_p = jnp.pad(cs.c_bmin, ((0, n_ch * ch - c), (0, 0)), constant_values=1e30)
-    bmax_p = jnp.pad(cs.c_bmax, ((0, n_ch * ch - c), (0, 0)), constant_values=-1e30)
-    bmin_c = bmin_p.reshape(n_ch, ch, 3)
-    bmax_c = bmax_p.reshape(n_ch, ch, 3)
+    t_near = jnp.full((nt, c), INF, Float)
+    cov = jnp.zeros((nt, c), bool)
+    # components: rays (nt, TILE, 1) vs clusters (1, 1, C)
+    tn = jnp.broadcast_to(tmins[:, :, None], (nt, os.shape[1], c)) * 0 + tmins[:, :, None]
+    tf = tmaxs[:, :, None] * jnp.ones((1, 1, c), Float)
+    for ax in range(3):
+        bmin = cs.c_bmin[:, ax][None, None, :]
+        bmax = cs.c_bmax[:, ax][None, None, :]
+        oa = os[:, :, ax:ax + 1]
+        ia = inv_d[:, :, ax:ax + 1]
+        t0 = (bmin - oa) * ia
+        t1 = (bmax - oa) * ia
+        tn = jnp.maximum(tn, jnp.minimum(t0, t1))
+        tf = jnp.minimum(tf, jnp.maximum(t0, t1) * 1.0001)
+    hit = tn <= tf                                   # (nt, TILE, c)
+    cov = jnp.any(hit, axis=1)
+    t_near = jnp.min(jnp.where(hit, tn, INF), axis=1)
+    return cov, t_near
 
-    def body(ci, acc):
-        any_acc, tnear_acc = acc
-        hit, tn = _slab(bmin_c[ci][None, None], bmax_c[ci][None, None],
-                        os[:, :, None, :], inv_d[:, :, None, :],
-                        tmins[:, :, None], tmaxs[:, :, None])  # (nt, TILE, ch)
-        any_t = jnp.any(hit, axis=1)                            # (nt, ch)
-        tn_t = jnp.min(jnp.where(hit, tn, INF), axis=1)         # (nt, ch)
-        any_acc = jax.lax.dynamic_update_slice_in_dim(any_acc, any_t, ci * ch, axis=1)
-        tnear_acc = jax.lax.dynamic_update_slice_in_dim(tnear_acc, tn_t, ci * ch, axis=1)
-        return any_acc, tnear_acc
 
-    init = (jnp.zeros((nt, n_ch * ch), bool), jnp.full((nt, n_ch * ch), INF, Float))
-    if n_ch == 1:
-        any_acc, tnear_acc = body(0, init)
-    else:
-        any_acc, tnear_acc = jax.lax.fori_loop(0, n_ch, body, init)
-    return any_acc[:, :c], tnear_acc[:, :c]
+def _round_test(cs, comp, cids, t_best):
+    """One dense round: rays of every tile vs the CH gathered clusters.
+    Returns (t (nt,TILE,CHK), slot t-values with misses at INF)."""
+    nt = cids.shape[0]
+    k = cs.cluster_size
+    chk = cids.shape[1] * k
+    feat = cs.packed[cids]                          # (nt, CH, NF, K)
+    feat = feat.transpose(0, 2, 1, 3).reshape(nt, NF, chk)
+
+    def F(i):
+        return feat[:, i, :][:, None, :]            # (nt, 1, chk)
+
+    dx, dy, dz = comp["dx"][:, :, None], comp["dy"][:, :, None], comp["dz"][:, :, None]
+    mx, my, mz = comp["mx"][:, :, None], comp["my"][:, :, None], comp["mz"][:, :, None]
+    ox, oy, oz = comp["ox"][:, :, None], comp["oy"][:, :, None], comp["oz"][:, :, None]
+
+    w0 = dx * F(0) + dy * F(1) + dz * F(2) + mx * F(3) + my * F(4) + mz * F(5)
+    w1 = dx * F(6) + dy * F(7) + dz * F(8) + mx * F(9) + my * F(10) + mz * F(11)
+    w2 = dx * F(12) + dy * F(13) + dz * F(14) + mx * F(15) + my * F(16) + mz * F(17)
+    same_sign = ((w0 >= 0) & (w1 >= 0) & (w2 >= 0)) | \
+                ((w0 <= 0) & (w1 <= 0) & (w2 <= 0))
+    ndotd = dx * F(18) + dy * F(19) + dz * F(20)
+    ndoto = ox * F(18) + oy * F(19) + oz * F(20)
+    t = (F(21) - ndoto) / jnp.where(jnp.abs(ndotd) > 1e-12, ndotd, 1e-12)
+    ok = same_sign & (jnp.abs(ndotd) > 1e-12) \
+        & (t > comp["tmin"][:, :, None]) & (t < t_best[:, :, None])
+    return jnp.where(ok, t, INF)
+
+
+def _finalize_hits(cs, tri, o_flat, d_flat, t_min_flat, hit, tri_idx):
+    """Recover (t, b1, b2) for the winning triangle of each ray via one
+    Möller–Trumbore evaluation (bit-consistent with the brute path)."""
+    idx = tri.indices[jnp.maximum(tri_idx, 0)]
+    p0 = tri.positions[idx[:, 0]]
+    p1 = tri.positions[idx[:, 1]]
+    p2 = tri.positions[idx[:, 2]]
+    h, t, b1, b2 = trimod.moller_trumbore(
+        o_flat, d_flat, p0, p1, p2, t_min_flat, jnp.full(t_min_flat.shape, INF, Float))
+    ok = hit & h
+    return ok, jnp.where(ok, t, INF), b1, b2
+
+
+def _sorted_cluster_order(cov, tnear):
+    tnear = jnp.where(cov, tnear, INF)
+    corder = jnp.argsort(tnear, axis=1).astype(Int)
+    tnear_sorted = jnp.take_along_axis(tnear, corder, axis=1)
+    return corder, tnear_sorted
 
 
 def intersect(cs: ClusterSet, tri, o, d, t_min, t_max):
     """Closest-hit query. Returns (hit, t, tri_idx, b1, b2) with the
     original lane shape."""
-    shp, n, order, os, ds, tmins, tmaxs, nt = _prepare(cs, o, d, t_min, t_max)
+    shp, n, order, comp, os, ds, nt = _prepare(cs, o, d, t_min, t_max)
     c = cs.n_clusters
     k = cs.cluster_size
 
-    cov, tnear = _tile_cluster_pass(cs, os, ds, tmins, tmaxs)
-    tnear = jnp.where(cov, tnear, INF)
-    corder = jnp.argsort(tnear, axis=1).astype(Int)       # (nt, C) asc entry t
-    tnear_sorted = jnp.take_along_axis(tnear, corder, axis=1)
-    counts = jnp.sum(cov, axis=1)                          # (nt,)
+    cov, tnear = _tile_cluster_pass(cs, os, ds, comp["tmin"], comp["tmax"])
+    corder, tnear_sorted = _sorted_cluster_order(cov, tnear)
 
     max_rounds = (c + CHUNK_CLUSTERS - 1) // CHUNK_CLUSTERS
     pad_c = max_rounds * CHUNK_CLUSTERS - c
@@ -209,65 +270,56 @@ def intersect(cs: ClusterSet, tri, o, d, t_min, t_max):
     tnear_p = jnp.pad(tnear_sorted, ((0, 0), (0, pad_c)), constant_values=INF)
 
     def cond(s):
-        r = s[0]
-        t_best = s[2]
+        r, _, t_best, _ = s
         next_tn = jax.lax.dynamic_slice_in_dim(tnear_p, r * CHUNK_CLUSTERS, 1, axis=1)[:, 0]
-        live = (r < max_rounds) & jnp.any(next_tn < jnp.max(t_best, axis=1))
-        return live
+        return (r < max_rounds) & jnp.any(next_tn < jnp.max(t_best, axis=1))
 
     def body(s):
-        r, hitb, t_best, i_best, b1b, b2b = s
+        r, hitb, t_best, i_best = s
         cids = jax.lax.dynamic_slice_in_dim(corder_p, r * CHUNK_CLUSTERS,
                                             CHUNK_CLUSTERS, axis=1)     # (nt, CH)
-        p0 = cs.c_p0[cids].reshape(nt, CHUNK_CLUSTERS * k, 3)
-        p1 = cs.c_p1[cids].reshape(nt, CHUNK_CLUSTERS * k, 3)
-        p2 = cs.c_p2[cids].reshape(nt, CHUNK_CLUSTERS * k, 3)
+        t = _round_test(cs, comp, cids, t_best)       # (nt, TILE, CHK)
         tid = cs.c_tri_id[cids].reshape(nt, CHUNK_CLUSTERS * k)
-        hit, t, b1, b2 = trimod.moller_trumbore(
-            os[:, :, None, :], ds[:, :, None, :], p0[:, None], p1[:, None], p2[:, None],
-            tmins[:, :, None], t_best[:, :, None])       # (nt, TILE, CH*k)
-        j = jnp.argmin(t, axis=-1)                        # (nt, TILE)
-        take_ = lambda a: jnp.take_along_axis(a, j[..., None], axis=-1)[..., 0]
-        tj = take_(t)
-        upd = take_(hit) & (tj < t_best)
+        j = jnp.argmin(t, axis=-1)                    # (nt, TILE)
+        tj = jnp.take_along_axis(t, j[..., None], axis=-1)[..., 0]
+        upd = tj < t_best
         t_best = jnp.where(upd, tj, t_best)
         i_best = jnp.where(upd, jnp.take_along_axis(tid, j, axis=-1), i_best)
-        b1b = jnp.where(upd, take_(b1), b1b)
-        b2b = jnp.where(upd, take_(b2), b2b)
-        return (r + 1, hitb | upd, t_best, i_best, b1b, b2b)
+        return (r + 1, hitb | upd, t_best, i_best)
 
-    init = (jnp.zeros((), Int),
-            jnp.zeros((nt, TILE), bool),
-            tmaxs,
-            jnp.zeros((nt, TILE), Int),
-            jnp.zeros((nt, TILE), Float), jnp.zeros((nt, TILE), Float))
-    _, hitb, t_best, i_best, b1b, b2b = jax.lax.while_loop(cond, body, init)
+    init = (jnp.zeros((), Int), jnp.zeros((nt, TILE), bool), comp["tmax"],
+            jnp.zeros((nt, TILE), Int))
+    _, hitb, t_best, i_best = jax.lax.while_loop(cond, body, init)
 
-    # unsort back to caller lane order (inverse permutation via argsort —
-    # avoids a TPU scatter)
     inv = jnp.argsort(order)
 
     def un(a):
         return a.reshape(-1)[inv].reshape(shp)
-    return (un(hitb), jnp.where(un(hitb), un(t_best), INF), un(i_best),
-            un(b1b), un(b2b))
+
+    hit_flat = un(hitb).reshape(-1)
+    idx_flat = un(i_best).reshape(-1)
+    o_flat = o.reshape(-1, 3)
+    d_flat = d.reshape(-1, 3)
+    tmin_flat = jnp.broadcast_to(t_min, shp).reshape(-1)
+    ok, t_fin, b1, b2 = _finalize_hits(cs, tri, o_flat, d_flat, tmin_flat,
+                                       hit_flat, idx_flat)
+    return (ok.reshape(shp), t_fin.reshape(shp), idx_flat.reshape(shp),
+            b1.reshape(shp), b2.reshape(shp))
 
 
 def occluded(cs: ClusterSet, tri, o, d, t_min, t_max):
     """Any-hit query (shadow rays): rounds stop as soon as every live
     lane is occluded or clusters are exhausted."""
-    shp, n, order, os, ds, tmins, tmaxs, nt = _prepare(cs, o, d, t_min, t_max)
+    shp, n, order, comp, os, ds, nt = _prepare(cs, o, d, t_min, t_max)
     c = cs.n_clusters
     k = cs.cluster_size
-    cov, tnear = _tile_cluster_pass(cs, os, ds, tmins, tmaxs)
-    tnear = jnp.where(cov, tnear, INF)
-    corder = jnp.argsort(tnear, axis=1).astype(Int)
-    tnear_sorted = jnp.take_along_axis(tnear, corder, axis=1)
+    cov, tnear = _tile_cluster_pass(cs, os, ds, comp["tmin"], comp["tmax"])
+    corder, tnear_sorted = _sorted_cluster_order(cov, tnear)
     max_rounds = (c + CHUNK_CLUSTERS - 1) // CHUNK_CLUSTERS
     pad_c = max_rounds * CHUNK_CLUSTERS - c
     corder_p = jnp.pad(corder, ((0, 0), (0, pad_c)))
     tnear_p = jnp.pad(tnear_sorted, ((0, 0), (0, pad_c)), constant_values=INF)
-    live_lane = tmaxs > tmins
+    live_lane = comp["tmax"] > comp["tmin"]
 
     def cond(s):
         r, occ = s
@@ -279,13 +331,8 @@ def occluded(cs: ClusterSet, tri, o, d, t_min, t_max):
         r, occ = s
         cids = jax.lax.dynamic_slice_in_dim(corder_p, r * CHUNK_CLUSTERS,
                                             CHUNK_CLUSTERS, axis=1)
-        p0 = cs.c_p0[cids].reshape(nt, CHUNK_CLUSTERS * k, 3)
-        p1 = cs.c_p1[cids].reshape(nt, CHUNK_CLUSTERS * k, 3)
-        p2 = cs.c_p2[cids].reshape(nt, CHUNK_CLUSTERS * k, 3)
-        hit, _, _, _ = trimod.moller_trumbore(
-            os[:, :, None, :], ds[:, :, None, :], p0[:, None], p1[:, None], p2[:, None],
-            tmins[:, :, None], tmaxs[:, :, None])
-        return r + 1, occ | jnp.any(hit, axis=-1)
+        t = _round_test(cs, comp, cids, comp["tmax"])
+        return r + 1, occ | jnp.any(t < INF, axis=-1)
 
     init = (jnp.zeros((), Int), jnp.zeros((nt, TILE), bool))
     _, occ = jax.lax.while_loop(cond, body, init)

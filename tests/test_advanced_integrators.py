@@ -34,3 +34,18 @@ def test_mlt_matches_path(path_ref):
     img_m = np.asarray(mlt.render(scene, cam, cfg))
     assert np.isnan(img_m).sum() == 0
     assert abs(img_m.mean() - img_p.mean()) < 0.12 * img_p.mean()
+
+
+def test_bdpt_matches_path(path_ref):
+    from pbrt_tpu.integrate import bdpt
+    scene, cam, img_p = path_ref
+    cfg = bdpt.BDPTConfig(width=24, height=24, spp=8, max_depth=4,
+                          sampler=smp.SamplerConfig(kind="random", spp=8))
+    img_b = np.asarray(bdpt.render(scene, cam, cfg))
+    assert np.isnan(img_b).sum() == 0
+    assert abs(img_b.mean() - img_p.mean()) < 0.08 * img_p.mean()
+    # per-region agreement (quarters) — catches MIS weighting errors
+    for ys in (slice(0, 12), slice(12, 24)):
+        for xs in (slice(0, 12), slice(12, 24)):
+            a, b = img_b[ys, xs].mean(), img_p[ys, xs].mean()
+            assert abs(a - b) < 0.15 * max(b, 1e-3), (ys, xs, a, b)
