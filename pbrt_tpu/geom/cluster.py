@@ -41,8 +41,8 @@ import numpy as np
 from ..core.types import Float, Int, INF
 from . import triangle as trimod
 
-TILE = 256          # rays per tile
-CHUNK_CLUSTERS = 8  # clusters fetched per round
+TILE = 256           # rays per tile
+CHUNK_CLUSTERS = 16  # clusters fetched per round
 # packed per-tri feature layout (C, NF, K):
 # 0:3 U0 | 3:6 V0 | 6:9 U1 | 9:12 V1 | 12:15 U2 | 15:18 V2 | 18:21 n | 21 k
 NF = 22
@@ -132,19 +132,30 @@ def _expand_bits10(v):
     return v
 
 
+def _morton3(q, bits):
+    """Interleave 3×`bits`-bit fixed-point coords (q in [0,1]^3)."""
+    scale = np.float32((1 << bits) - 1)
+    qi = (jnp.clip(q, 0.0, 1.0) * scale).astype(jnp.uint32)
+    m = (_expand_bits10(qi[..., 0])
+         | (_expand_bits10(qi[..., 1]) << 1)
+         | (_expand_bits10(qi[..., 2]) << 2))
+    return m & jnp.uint32((1 << (3 * bits)) - 1)
+
+
 def _coherence_key(cs, o, d):
-    """uint32 sort key: 3-bit direction octant then 27-bit origin Morton
-    code (SURVEY §7 'sort rays by direction octant/origin cell')."""
+    """uint32 sort key: direction octant, coarse origin Morton, then
+    direction Morton (SURVEY §7 'sort rays by direction octant/origin
+    cell'). The direction bits matter for pinhole primary rays (all
+    origins equal) — without them tiles degenerate to scanline strips
+    with wide frusta."""
     octant = ((d[..., 0] < 0).astype(jnp.uint32)
               | ((d[..., 1] < 0).astype(jnp.uint32) << 1)
               | ((d[..., 2] < 0).astype(jnp.uint32) << 2))
     ext = jnp.maximum(cs.world_max - cs.world_min, 1e-6)
-    q = jnp.clip((o - cs.world_min) / ext, 0.0, 1.0)
-    qi = (q * 511.0).astype(jnp.uint32)
-    morton = (_expand_bits10(qi[..., 0])
-              | (_expand_bits10(qi[..., 1]) << 1)
-              | (_expand_bits10(qi[..., 2]) << 2))
-    return (octant << jnp.uint32(27)) | (morton & jnp.uint32(0x07FFFFFF))
+    q = (o - cs.world_min) / ext
+    m_origin = _morton3(q, 5)                     # 15 bits, 32³ cells
+    m_dir = _morton3(0.5 * (d + 1.0), 4)          # 12 bits
+    return (octant << jnp.uint32(27)) | (m_origin << jnp.uint32(12)) | m_dir
 
 
 def _prepare(cs, o, d, t_min, t_max):
