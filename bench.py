@@ -20,6 +20,8 @@ import numpy as np
 def main():
     import jax
     import jax.numpy as jnp
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
 
     from scenes.bunny import mesh_scene, mesh_camera
     from pbrt_tpu.integrate import driver, path

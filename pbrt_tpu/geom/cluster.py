@@ -42,7 +42,8 @@ from ..core.types import Float, Int, INF
 from . import triangle as trimod
 
 TILE = 256           # rays per tile
-CHUNK_CLUSTERS = 16  # clusters fetched per round
+CHUNK_CLUSTERS = 32  # clusters fetched per round
+_SLOT_BITS = 11      # low mantissa bits of t reused for the slot index
 # packed per-tri feature layout (C, NF, K):
 # 0:3 U0 | 3:6 V0 | 6:9 U1 | 9:12 V1 | 12:15 U2 | 15:18 V2 | 18:21 n | 21 k
 NF = 22
@@ -285,17 +286,30 @@ def intersect(cs: ClusterSet, tri, o, d, t_min, t_max):
         next_tn = jax.lax.dynamic_slice_in_dim(tnear_p, r * CHUNK_CLUSTERS, 1, axis=1)[:, 0]
         return (r < max_rounds) & jnp.any(next_tn < jnp.max(t_best, axis=1))
 
+    chk = CHUNK_CLUSTERS * k
+    slot_iota = jax.lax.broadcasted_iota(Int, (1, 1, chk), 2)
+    slot_mask = (1 << _SLOT_BITS) - 1
+    assert chk <= (1 << _SLOT_BITS)
+
     def body(s):
         r, hitb, t_best, i_best = s
         cids = jax.lax.dynamic_slice_in_dim(corder_p, r * CHUNK_CLUSTERS,
                                             CHUNK_CLUSTERS, axis=1)     # (nt, CH)
         t = _round_test(cs, comp, cids, t_best)       # (nt, TILE, CHK)
-        tid = cs.c_tri_id[cids].reshape(nt, CHUNK_CLUSTERS * k)
-        j = jnp.argmin(t, axis=-1)                    # (nt, TILE)
-        tj = jnp.take_along_axis(t, j[..., None], axis=-1)[..., 0]
+        # pack (t, slot) into one int key: low mantissa bits carry the
+        # slot, so a single min-reduce yields both the (slightly
+        # conservative) best t and the winning slot — the exact t is
+        # recovered by the finalize pass. t ≥ t_min > 0, so the float
+        # bit pattern is order-preserving as int32.
+        t_bits = jax.lax.bitcast_convert_type(t, jnp.int32)
+        key = (t_bits & ~slot_mask) | slot_iota
+        kmin = jnp.min(key, axis=-1)                  # (nt, TILE)
+        slot = kmin & slot_mask
+        tj = jax.lax.bitcast_convert_type(kmin & ~slot_mask, Float)
+        tid = cs.c_tri_id[cids].reshape(nt, chk)
         upd = tj < t_best
         t_best = jnp.where(upd, tj, t_best)
-        i_best = jnp.where(upd, jnp.take_along_axis(tid, j, axis=-1), i_best)
+        i_best = jnp.where(upd, jnp.take_along_axis(tid, slot, axis=-1), i_best)
         return (r + 1, hitb | upd, t_best, i_best)
 
     init = (jnp.zeros((), Int), jnp.zeros((nt, TILE), bool), comp["tmax"],

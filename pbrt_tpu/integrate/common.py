@@ -70,6 +70,63 @@ def select_light(scene, strategy, p, u, world_radius=None):
     return select_light_uniform(lights, u)
 
 
+def nee_light_part(scene, lights, lp, kinds_present, frame, p, ns, ng, wo,
+                   lt, u_light, active):
+    """Light-sampling half of estimate_direct (integrator.rs:155-195).
+    Returns (ld_light (N,3) — NOT divided by the selection pmf, ls)."""
+    ls = lightsmod.sample_li(lights, scene, lt, p, u_light, scene.world_radius)
+    wi = ls["wi"]
+    wo_l = frame.to_local(wo)
+    wi_l = frame.to_local(wi)
+    f = matmod.evaluate_f(lp, kinds_present, wo_l, wi_l) * vm.absdot(wi, ns)[..., None]
+    scat_pdf = matmod.pdf(lp, kinds_present, wo_l, wi_l)
+    usable = active & (ls["pdf"] > 0.0) & (luminance(ls["li"]) > 0.0) & (luminance(f) > 0.0)
+    o_sh = vm.offset_ray_origin(p, ng, wi)
+    t_max = ls["dist"] * (1.0 - 1e-3)
+    occ = scenemod.occluded(scene, o_sh, wi, t_max=jnp.maximum(t_max, SHADOW_EPS))
+    vis = usable & ~occ
+    w_l = jnp.where(ls["is_delta"], 1.0, power_heuristic(1.0, ls["pdf"], 1.0, scat_pdf))
+    contrib = f * ls["li"] * (w_l / jnp.maximum(ls["pdf"], 1e-12))[..., None]
+    return jnp.where(vis[..., None], contrib, 0.0), ls
+
+
+def nee_bsdf_ray(lp, kinds_present, frame, p, ns, ng, wo, u_lobe, u_bsdf):
+    """Sample the MIS-BSDF ray (integrator.rs:196-215). Returns
+    (o_b, wi_b, f_b·|cos|, pdf_b, spec_b)."""
+    wo_l = frame.to_local(wo)
+    wi_b_l, f_b, pdf_b, spec_b, _ = matmod.sample(lp, kinds_present, wo_l, u_lobe, u_bsdf)
+    wi_b = frame.to_world(wi_b_l)
+    f_b = f_b * vm.absdot(wi_b, ns)[..., None]
+    o_b = vm.offset_ray_origin(p, ng, wi_b)
+    return o_b, wi_b, f_b, pdf_b, spec_b
+
+
+def nee_bsdf_part(scene, lights, ls, lt, p, wi_b, f_b, pdf_b, spec_b, hit_b, active):
+    """BSDF-sampling half of estimate_direct given the traced hit
+    (integrator.rs:216-262). Returns ld_bsdf (N,3), not pmf-divided."""
+    try_bsdf = active & ~ls["is_delta"] & ~spec_b & (pdf_b > 0.0) & (luminance(f_b) > 0.0)
+    same_light = hit_b.valid & (hit_b.light_id == lt)
+    li_surf = lightsmod.area_light_radiance(lights, hit_b.light_id, hit_b.ng, -wi_b)
+    pdf_light_b = lightsmod.pdf_li_area_scene(lights, scene, lt, p, hit_b.p, hit_b.ng)
+    if lights.env_index >= 0:
+        is_env = lt == lights.env_index
+        li_env = lightsmod.env_radiance(lights, wi_b)
+        pdf_env = lightsmod.env_pdf_li(lights, wi_b)
+        li_b = jnp.where((~hit_b.valid & is_env)[..., None], li_env,
+                         jnp.where(same_light[..., None], li_surf, 0.0))
+        pdf_light_b = jnp.where(~hit_b.valid & is_env, pdf_env,
+                                jnp.where(same_light, pdf_light_b, 0.0))
+        got_light = (~hit_b.valid & is_env) | same_light
+    else:
+        li_b = jnp.where(same_light[..., None], li_surf, 0.0)
+        pdf_light_b = jnp.where(same_light, pdf_light_b, 0.0)
+        got_light = same_light
+    w_b = power_heuristic(1.0, pdf_b, 1.0, pdf_light_b)
+    contrib_b = f_b * li_b * (w_b / jnp.maximum(pdf_b, 1e-12))[..., None]
+    ok_b = try_bsdf & got_light & (pdf_light_b > 0.0)
+    return jnp.where(ok_b[..., None], contrib_b, 0.0)
+
+
 def estimate_direct(scene, lights, lp, kinds_present, frame, p, ns, ng, wo,
                     lt, lt_pmf, u_light, u_bsdf, u_lobe, active,
                     handle_media=False):
