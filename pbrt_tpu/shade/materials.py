@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.types import Float, Int
+from ..core.types import Float, Int, PI, INV_PI
 from ..core import vecmath as vm
 from . import bxdf
 
@@ -43,6 +43,10 @@ MAT_MIRROR = 4
 MAT_SUBSTRATE = 5
 MAT_TRANSLUCENT = 6
 MAT_UBER = 7
+MAT_DISNEY = 8
+MAT_MIX = 9
+MAT_SUBSURFACE = 10
+MAT_HAIR = 11
 
 _SPECULAR_KINDS = (MAT_GLASS, MAT_MIRROR, MAT_UBER)  # may sample delta lobes
 
@@ -69,6 +73,9 @@ class MaterialTable:
     roughness_tex: jnp.ndarray
     sigma_tex: jnp.ndarray
     bump_tex: jnp.ndarray
+    # kind-specific extras: disney [metallic, specTint, sheen, sheenTint,
+    # clearcoat, ccGloss]; mix [mat1, mat2]; subsurface [scale, bssrdf]
+    aux: jnp.ndarray             # (M, 8)
     kinds_present: tuple = field(metadata=dict(static=True), default=())
 
     @property
@@ -104,6 +111,7 @@ def build_materials(rows):
         kd_tex=icol("kd_tex"), ks_tex=icol("ks_tex"), kr_tex=icol("kr_tex"),
         kt_tex=icol("kt_tex"), roughness_tex=icol("roughness_tex"),
         sigma_tex=icol("sigma_tex"), bump_tex=icol("bump_tex"),
+        aux=col("aux", 0.0, (8,)),
         kinds_present=kinds,
     )
 
@@ -125,6 +133,7 @@ class LaneParams:
     sigma: jnp.ndarray
     opacity: jnp.ndarray
     rough_is_zero: jnp.ndarray
+    aux: jnp.ndarray
 
 
 def resolve(mats: MaterialTable, mid, uv=None, p=None, textures=None):
@@ -158,7 +167,7 @@ def resolve(mats: MaterialTable, mid, uv=None, p=None, textures=None):
         ax=ax, ay=ay, eta=mats.eta[mid],
         metal_eta=mats.metal_eta[mid], metal_k=mats.metal_k[mid],
         sigma=sigma, opacity=mats.opacity[mid],
-        rough_is_zero=rough_is_zero)
+        rough_is_zero=rough_is_zero, aux=mats.aux[mid])
 
 
 # ------------------------------------------------------------- dispatch
@@ -341,24 +350,103 @@ def _uber_sample(lp, wo, u_lobe, u2):
     return wi, f, pdf, pick_r, jnp.zeros(pdf.shape, bool)
 
 
+def _disney_args(lp):
+    a = lp.aux
+    rough = jnp.maximum((lp.ax + lp.ay) * 0.5, 1e-3)  # pre-remapped alpha avg
+    # use raw roughness column semantics: store roughness in aux[6]
+    rough = jnp.maximum(a[..., 6], 1e-3)
+    return (lp.kd, a[..., 0], rough, a[..., 1], a[..., 2], a[..., 3],
+            a[..., 4], a[..., 5])
+
+
+def _disney_f(lp, wo, wi):
+    from . import disney as dz
+    return dz.disney_f(*_disney_args(lp), wo, wi)
+
+
+def _disney_pdf(lp, wo, wi):
+    from . import disney as dz
+    a = lp.aux
+    return dz.disney_pdf(jnp.maximum(a[..., 6], 1e-3), a[..., 0], a[..., 4], wo, wi)
+
+
+def _disney_sample(lp, wo, u_lobe, u2):
+    from . import disney as dz
+    wi, f, pdf = dz.disney_sample(*_disney_args(lp), wo, u_lobe, u2)
+    z = jnp.zeros(pdf.shape, bool)
+    return wi, f, pdf, z, z
+
+
+def _hair_f(lp, wo, wi):
+    """Kajiya–Kay hair shading (simplified stand-in for PBRT-v3's
+    Marschner model; the reference's hair.rs is an empty stub). The hair
+    tangent is the local x axis (dpdu along the fiber)."""
+    sin_to = jnp.sqrt(jnp.maximum(1.0 - wo[..., 0] ** 2, 0.0))
+    sin_ti = jnp.sqrt(jnp.maximum(1.0 - wi[..., 0] ** 2, 0.0))
+    diffuse = lp.kd * INV_PI * sin_ti[..., None]
+    spec_cos = jnp.maximum(-wo[..., 0] * wi[..., 0] + sin_to * sin_ti, 0.0)
+    shine = 1.0 / jnp.maximum(lp.ax, 1e-3)
+    spec = lp.ks * ((spec_cos ** shine) * (shine + 2.0) / (2.0 * PI))[..., None]
+    return diffuse + spec
+
+
+def _hair_pdf(lp, wo, wi):
+    return jnp.full(wo.shape[:-1], 1.0 / (4.0 * PI), Float)
+
+
+def _hair_sample(lp, wo, u_lobe, u2):
+    from ..core.sampling import uniform_sample_sphere
+    wi = uniform_sample_sphere(u2)
+    f = _hair_f(lp, wo, wi)
+    pdf = _hair_pdf(lp, wo, wi)
+    z = jnp.zeros(pdf.shape, bool)
+    return wi, f, pdf, z, z
+
+
+# subsurface surface-interface lobes = smooth dielectric (glass path);
+# the BSSRDF transport itself is handled by the integrator (shade/bssrdf)
+_SUBSURF_F = _glass_f
+_SUBSURF_PDF = _glass_pdf
+_SUBSURF_SAMPLE = _glass_sample
+
+
 _F_FNS = {MAT_MATTE: _matte_f, MAT_PLASTIC: _plastic_f, MAT_GLASS: _glass_f,
           MAT_METAL: _metal_f, MAT_MIRROR: lambda lp, wo, wi: jnp.zeros(wo.shape, Float),
-          MAT_SUBSTRATE: _substrate_f, MAT_TRANSLUCENT: _translucent_f, MAT_UBER: _uber_f}
+          MAT_SUBSTRATE: _substrate_f, MAT_TRANSLUCENT: _translucent_f, MAT_UBER: _uber_f,
+          MAT_DISNEY: _disney_f, MAT_SUBSURFACE: _SUBSURF_F, MAT_HAIR: _hair_f}
 _PDF_FNS = {MAT_MATTE: _matte_pdf, MAT_PLASTIC: _plastic_pdf, MAT_GLASS: _glass_pdf,
             MAT_METAL: _metal_pdf, MAT_MIRROR: lambda lp, wo, wi: jnp.zeros(wo.shape[:-1], Float),
-            MAT_SUBSTRATE: _substrate_pdf, MAT_TRANSLUCENT: _translucent_pdf, MAT_UBER: _uber_pdf}
+            MAT_SUBSTRATE: _substrate_pdf, MAT_TRANSLUCENT: _translucent_pdf, MAT_UBER: _uber_pdf,
+            MAT_DISNEY: _disney_pdf, MAT_SUBSURFACE: _SUBSURF_PDF, MAT_HAIR: _hair_pdf}
 _SAMPLE_FNS = {MAT_MATTE: _matte_sample, MAT_PLASTIC: _plastic_sample, MAT_GLASS: _glass_sample,
                MAT_METAL: _metal_sample, MAT_MIRROR: _mirror_sample,
                MAT_SUBSTRATE: _substrate_sample, MAT_TRANSLUCENT: _translucent_sample,
-               MAT_UBER: _uber_sample}
+               MAT_UBER: _uber_sample, MAT_DISNEY: _disney_sample,
+               MAT_SUBSURFACE: _SUBSURF_SAMPLE, MAT_HAIR: _hair_sample}
 
 
-def evaluate_f(lp: LaneParams, kinds_present, wo, wi):
+def _mix_sub_params(mats, lp, which):
+    """LaneParams of the material referenced by a MIX row (aux[0]/aux[1])."""
+    mid = lp.aux[..., which].astype(jnp.int32)
+    return resolve(mats, jnp.maximum(mid, 0))
+
+
+def evaluate_f(lp: LaneParams, kinds_present, wo, wi, _mats=None):
     """Non-delta BSDF value, local frame. Masked sum over kinds present."""
     out = jnp.zeros(wo.shape, Float)
     for k in kinds_present:
+        if k == MAT_MIX:
+            continue
         mask = (lp.kind == k)[..., None]
         out = jnp.where(mask, _F_FNS[k](lp, wo, wi), out)
+    if MAT_MIX in kinds_present and _mats is not None:
+        lp1 = _mix_sub_params(_mats, lp, 0)
+        lp2 = _mix_sub_params(_mats, lp, 1)
+        sub_kinds = tuple(k for k in range(12) if k != MAT_MIX)
+        f1 = evaluate_f(lp1, sub_kinds, wo, wi)
+        f2 = evaluate_f(lp2, sub_kinds, wo, wi)
+        amt = lp.kd
+        out = jnp.where((lp.kind == MAT_MIX)[..., None], amt * f1 + (1 - amt) * f2, out)
     return out
 
 

@@ -122,3 +122,22 @@ def test_bvh_shadow_rays_respect_tmax():
     t_min = jnp.full((16,), 1e-4, jnp.float32)
     occ_short = bvhmod.traverse_any(bvh, tri, o, d, t_min, jnp.full((16,), 1e-3, jnp.float32))
     assert not bool(np.asarray(occ_short).any())
+
+
+def test_kdtree_matches_brute_force():
+    from pbrt_tpu.geom import kdtree as kdmod
+    verts, idx = _random_soup(300, seed=11)
+    tri = _tri_soa(verts, idx)
+    kd = kdmod.build_kdtree(verts, idx)
+    r = np.random.RandomState(12)
+    n = 256
+    o = jnp.asarray(r.rand(n, 3) * 10, jnp.float32)
+    d = jnp.asarray(r.randn(n, 3), jnp.float32)
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    t_min = jnp.full((n,), 1e-4, jnp.float32)
+    t_max = jnp.full((n,), np.inf, jnp.float32)
+    bh, bt, bi, _, _ = trimod.intersect_brute(tri, o, d, t_min, t_max)
+    kh, kt, ki, _, _ = kdmod.traverse_closest(kd, tri, o, d, t_min, t_max)
+    np.testing.assert_array_equal(np.asarray(bh), np.asarray(kh))
+    m = np.asarray(bh)
+    np.testing.assert_allclose(np.asarray(bt)[m], np.asarray(kt)[m], rtol=1e-4)
