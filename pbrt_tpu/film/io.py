@@ -130,6 +130,8 @@ def write_image(path, image):
     p = str(path)
     if p.endswith(".png"):
         write_png(p, image)
+    elif p.endswith(".exr"):
+        write_exr(p, image)
     elif p.endswith(".pfm"):
         write_pfm(p, image)
     elif p.endswith(".npy"):
@@ -142,8 +144,87 @@ def read_image(path):
     p = str(path)
     if p.endswith(".png"):
         return read_png(p)
+    if p.endswith(".exr"):
+        return read_exr(p)
     if p.endswith(".pfm"):
         return read_pfm(p)
     if p.endswith(".npy"):
         return np.load(p).astype(np.float32)
     raise ValueError(f"unsupported image extension: {p}")
+
+
+def write_exr(path, image):
+    """Minimal OpenEXR 2.0 writer: uncompressed scanlines, float32 RGB
+    (supplies the HDR output the reference leaves as todo!(),
+    src/core/film.rs:153-180)."""
+    img = np.asarray(image, np.float32)
+    h, w = img.shape[:2]
+    if img.ndim == 2:
+        img = np.repeat(img[..., None], 3, axis=-1)
+
+    def attr(name, typ, data):
+        return name.encode() + b"\x00" + typ.encode() + b"\x00" \
+            + struct.pack("<I", len(data)) + data
+
+    def box2i(xmin, ymin, xmax, ymax):
+        return struct.pack("<4i", xmin, ymin, xmax, ymax)
+
+    chans = b""
+    for c in (b"B", b"G", b"R"):
+        chans += c + b"\x00" + struct.pack("<iiii", 2, 0, 1, 1)  # FLOAT, sampling 1,1
+    chans += b"\x00"
+
+    header = b""
+    header += attr("channels", "chlist", chans)
+    header += attr("compression", "compression", b"\x00")  # none
+    header += attr("dataWindow", "box2i", box2i(0, 0, w - 1, h - 1))
+    header += attr("displayWindow", "box2i", box2i(0, 0, w - 1, h - 1))
+    header += attr("lineOrder", "lineOrder", b"\x00")
+    header += attr("pixelAspectRatio", "float", struct.pack("<f", 1.0))
+    header += attr("screenWindowCenter", "v2f", struct.pack("<2f", 0.0, 0.0))
+    header += attr("screenWindowWidth", "float", struct.pack("<f", 1.0))
+    header += b"\x00"
+
+    magic = struct.pack("<I", 20000630) + struct.pack("<I", 2)
+    offset_table_pos = len(magic) + len(header)
+    data_start = offset_table_pos + 8 * h
+    scan_size = 8 + 3 * w * 4
+    offsets = b"".join(struct.pack("<Q", data_start + y * scan_size) for y in range(h))
+
+    body = bytearray()
+    for y in range(h):
+        row = img[y]
+        body += struct.pack("<iI", y, 3 * w * 4)
+        body += row[:, 2].astype("<f4").tobytes()   # B
+        body += row[:, 1].astype("<f4").tobytes()   # G
+        body += row[:, 0].astype("<f4").tobytes()   # R
+    with open(path, "wb") as f:
+        f.write(magic + header + offsets + bytes(body))
+
+
+def read_exr(path):
+    """Reader for the subset written by write_exr (uncompressed float RGB)."""
+    with open(path, "rb") as f:
+        data = f.read()
+    assert struct.unpack("<I", data[:4])[0] == 20000630, "not an EXR"
+    pos = 8
+    attrs = {}
+    while data[pos] != 0:
+        e = data.index(b"\x00", pos)
+        name = data[pos:e].decode(); pos = e + 1
+        e = data.index(b"\x00", pos)
+        typ = data[pos:e].decode(); pos = e + 1
+        (sz,) = struct.unpack("<I", data[pos:pos + 4]); pos += 4
+        attrs[name] = (typ, data[pos:pos + sz]); pos += sz
+    pos += 1
+    xmin, ymin, xmax, ymax = struct.unpack("<4i", attrs["dataWindow"][1])
+    w, h = xmax - xmin + 1, ymax - ymin + 1
+    pos += 8 * h  # offset table
+    img = np.zeros((h, w, 3), np.float32)
+    for y in range(h):
+        yy, sz = struct.unpack("<iI", data[pos:pos + 8]); pos += 8
+        row = np.frombuffer(data[pos:pos + sz], "<f4").reshape(3, w); pos += sz
+        img[yy - ymin, :, 2] = row[0]
+        img[yy - ymin, :, 1] = row[1]
+        img[yy - ymin, :, 0] = row[2]
+    return img

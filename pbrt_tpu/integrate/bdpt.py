@@ -156,7 +156,7 @@ def _walk(scene, cfg, pid, sid, o, d, beta0, pdf_dir0, mode, dim_base, max_v,
         nv = jnp.where(live, i + 1, nv)
 
         # sample continuation
-        frame = common.shading_frame(hit)
+        frame = common.shading_frame(hit, scene)
         lp = matmod.resolve(scene.materials, hit.material_id, hit.uv, hit.p, scene.textures)
         u_bsdf = smp.sample_2d(scfg, pid, sid, dim_base + 8 * i)
         u_lobe = smp.sample_1d(scfg, pid, sid, dim_base + 8 * i + 2)

@@ -35,9 +35,30 @@ class Frame(NamedTuple):
         return vm.to_world(v, self.t, self.b, self.n)
 
 
-def shading_frame(hit):
+def shading_frame(hit, scene=None):
+    """Orthonormal shading frame; applies bump mapping when the scene's
+    materials declare bump textures (material.rs:16-55 — displacement via
+    finite differences of the bump texture along u/v)."""
     t = hit.dpdu
     n = hit.ns
+    if scene is not None and scene.textures is not None and \
+            getattr(scene.materials, "has_bump", False):
+        from ..shade import textures as texmod
+        mats = scene.materials
+        mid = jnp.maximum(hit.material_id, 0)
+        btex = mats.bump_tex[mid]
+        b_axis = vm.normalize(vm.cross(n, t))
+        du = 5e-4
+        h0 = texmod.evaluate(scene.textures, btex, hit.uv, hit.p)[..., 0]
+        hu = texmod.evaluate(scene.textures, btex, hit.uv + jnp.array([du, 0.0]),
+                             hit.p + du * t)[..., 0]
+        hv = texmod.evaluate(scene.textures, btex, hit.uv + jnp.array([0.0, du]),
+                             hit.p + du * b_axis)[..., 0]
+        dhdu = (hu - h0) / du
+        dhdv = (hv - h0) / du
+        n_b = vm.normalize(n - dhdu[..., None] * t - dhdv[..., None] * b_axis)
+        n = jnp.where((btex >= 0)[..., None], n_b, n)
+        t = vm.normalize(t - vm.dot(t, n)[..., None] * n)
     b = vm.normalize(vm.cross(n, t))
     t = vm.cross(b, n)
     return Frame(t, b, n)

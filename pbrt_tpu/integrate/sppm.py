@@ -86,7 +86,7 @@ def _camera_pass(scene, camera, cfg, it):
         ld = ld + jnp.where(count_emit[..., None], beta * le, 0.0)
         active = active & hit.valid & (hit.material_id >= 0)
 
-        frame = common.shading_frame(hit)
+        frame = common.shading_frame(hit, scene)
         lp = matmod.resolve(scene.materials, hit.material_id, hit.uv, hit.p, scene.textures)
         # NEE at every camera vertex (sppm.rs:236-243)
         u_sel = smp.sample_1d(scfg, pixel_id, sample_idx, smp.bounce_dim(bounce, 5))
@@ -165,7 +165,7 @@ def _photon_pass(scene, cfg, it, power_dist):
         deposit_ok = active & (bounce > 0)
         deposits.append((hit.p, -d, beta, deposit_ok))
 
-        frame = common.shading_frame(hit)
+        frame = common.shading_frame(hit, scene)
         lp = matmod.resolve(scene.materials, hit.material_id, hit.uv, hit.p, scene.textures)
         u_bsdf = smp.sample_2d(scfg, pid, sid, smp.bounce_dim(bounce, 0) + 50)
         u_lobe = smp.sample_1d(scfg, pid, sid, smp.bounce_dim(bounce, 2) + 50)

@@ -98,7 +98,7 @@ def li(scene, o, d, pixel_id, sample_idx, cfg, rr_start=3):
         le = jnp.where(hit.valid[..., None], le_hit, le_env)
         L = L + jnp.where(count_emit[..., None], beta * le, 0.0)
 
-        frame = common.shading_frame(hit)
+        frame = common.shading_frame(hit, scene)
         lp = matmod.resolve(scene.materials, hit.material_id, hit.uv, hit.p,
                             scene.textures)
         u_nee_b = smp.sample_2d(cfg.sampler, pixel_id, sample_idx, smp.bounce_dim(bounce, 6))

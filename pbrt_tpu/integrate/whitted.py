@@ -33,7 +33,7 @@ def li(scene, o, d, pixel_id, sample_idx, cfg):
         L = L + jnp.where(active[..., None], beta * le, 0.0)
         active = active & hit.valid & (hit.material_id >= 0)
 
-        frame = common.shading_frame(hit)
+        frame = common.shading_frame(hit, scene)
         lp = matmod.resolve(scene.materials, hit.material_id, hit.uv, hit.p, scene.textures)
 
         # all-lights NEE (whitted.rs:60-80)

@@ -77,6 +77,7 @@ class MaterialTable:
     # clearcoat, ccGloss]; mix [mat1, mat2]; subsurface [scale, bssrdf]
     aux: jnp.ndarray             # (M, 8)
     kinds_present: tuple = field(metadata=dict(static=True), default=())
+    has_bump: bool = field(metadata=dict(static=True), default=False)
 
     @property
     def count(self):
@@ -113,6 +114,7 @@ def build_materials(rows):
         sigma_tex=icol("sigma_tex"), bump_tex=icol("bump_tex"),
         aux=col("aux", 0.0, (8,)),
         kinds_present=kinds,
+        has_bump=any(r.get("bump_tex", -1) >= 0 for r in rows),
     )
 
 
