@@ -162,3 +162,14 @@ def test_rng_numpy_mirror_bitwise():
     a = np.asarray(rng.uniform_float(jnp.uint32(3), jnp.asarray(keys), jnp.uint32(5), jnp.uint32(2)))
     b = rng.np_uniform_float(np.uint32(3), keys, np.uint32(5), np.uint32(2))
     np.testing.assert_array_equal(a, b)
+
+
+def test_fourier_table_lambertian():
+    from pbrt_tpu.shade.fourier import make_lambertian_table, fourier_f
+    tbl = make_lambertian_table((0.6, 0.4, 0.2))
+    wo = jnp.asarray([[0.2, 0.1, 0.97]])
+    wo = wo / jnp.linalg.norm(wo, axis=-1, keepdims=True)
+    wi = jnp.asarray([[-0.3, 0.2, 0.93]])
+    wi = wi / jnp.linalg.norm(wi, axis=-1, keepdims=True)
+    f = np.asarray(fourier_f(tbl, wo, wi))[0]
+    np.testing.assert_allclose(f, np.array([0.6, 0.4, 0.2]) / np.pi, rtol=2e-2)
