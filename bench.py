@@ -30,7 +30,7 @@ def main():
 
     res = int(os.environ.get("BENCH_RES", 512))
     spp_batch = int(os.environ.get("BENCH_SPP_BATCH", 1))
-    n_iters = int(os.environ.get("BENCH_ITERS", 4))
+    n_iters = int(os.environ.get("BENCH_ITERS", 3))
     depth = 5
 
     scene = mesh_scene(subdivisions=6, use_bvh=True)
