@@ -44,9 +44,10 @@ from . import triangle as trimod
 TILE = 256           # rays per tile
 CHUNK_CLUSTERS = 32  # clusters fetched per round
 _SLOT_BITS = 11      # low mantissa bits of t reused for the slot index
-# packed per-tri feature layout (C, NF, K):
+# packed per-tri feature layout (C, NF, K) (+2 zero pad rows → 24 for
+# TPU sublane alignment in the pallas kernel):
 # 0:3 U0 | 3:6 V0 | 6:9 U1 | 9:12 V1 | 12:15 U2 | 15:18 V2 | 18:21 n | 21 k
-NF = 22
+NF = 24
 
 
 class ClusterSet(NamedTuple):
@@ -106,7 +107,8 @@ def build_clusters(positions, indices, prim_order=None, k=64):
     n = np.cross(p1 - p0, p2 - p0)
     kplane = np.sum(n * p0, axis=-1)
     packed = np.concatenate(
-        [u0, v0, u1, v1, u2, v2, n, kplane[:, None]], axis=1).astype(np.float32)
+        [u0, v0, u1, v1, u2, v2, n, kplane[:, None],
+         np.zeros((len(p0), 2))], axis=1).astype(np.float32)
     packed = packed.reshape(c, k, NF).transpose(0, 2, 1)   # (C, NF, K)
 
     p0f = p0.astype(np.float32).reshape(c, k, 3)
@@ -363,3 +365,50 @@ def occluded(cs: ClusterSet, tri, o, d, t_min, t_max):
     _, occ = jax.lax.while_loop(cond, body, init)
     inv = jnp.argsort(order)
     return occ.reshape(-1)[inv].reshape(shp)
+
+
+def intersect_pallas(cs: ClusterSet, tri, o, d, t_min, t_max, interpret=False):
+    """Closest-hit via the pallas per-tile kernel
+    (kernels/cluster_pallas.py). Requires a ClusterSet built with
+    k=128. Same return contract as `intersect`."""
+    from ..kernels import cluster_pallas as kp
+    shp, n, order, comp, os_, ds_, nt = _prepare(cs, o, d, t_min, t_max)
+    c = cs.n_clusters
+    k = cs.cluster_size
+
+    cov, tnear = _tile_cluster_pass(cs, os_, ds_, comp["tmin"], comp["tmax"])
+    corder, tnear_sorted = _sorted_cluster_order(cov, tnear)
+    counts = jnp.sum(cov, axis=1).astype(Int)
+    pad_c = (-c) % kp.CH
+    corder_p = jnp.pad(corder, ((0, 0), (0, pad_c)))
+
+    rays = jnp.stack([
+        comp["ox"], comp["oy"], comp["oz"],
+        comp["dx"], comp["dy"], comp["dz"],
+        comp["mx"], comp["my"], comp["mz"],
+        comp["tmin"], comp["tmax"],
+        jnp.zeros_like(comp["ox"]), jnp.zeros_like(comp["ox"]),
+        jnp.zeros_like(comp["ox"]), jnp.zeros_like(comp["ox"]),
+        jnp.zeros_like(comp["ox"])], axis=1)          # (nt, 16, TILE)
+
+    t_best, slot = kp.traverse_tiles(cs.packed, rays, corder_p, counts,
+                                     interpret=interpret)
+    hit = slot >= 0
+    slot_c = jnp.maximum(slot, 0)
+    cl = jnp.take_along_axis(corder_p, slot_c // k, axis=1)
+    tid = cs.c_tri_id[cl, slot_c % k]
+
+    inv = jnp.argsort(order)
+
+    def un(a):
+        return a.reshape(-1)[inv].reshape(shp)
+
+    hit_flat = un(hit).reshape(-1)
+    idx_flat = un(tid).reshape(-1)
+    o_flat = o.reshape(-1, 3)
+    d_flat = d.reshape(-1, 3)
+    tmin_flat = jnp.broadcast_to(t_min, shp).reshape(-1)
+    ok, t_fin, b1, b2 = _finalize_hits(cs, tri, o_flat, d_flat, tmin_flat,
+                                       hit_flat, idx_flat)
+    return (ok.reshape(shp), t_fin.reshape(shp), idx_flat.reshape(shp),
+            b1.reshape(shp), b2.reshape(shp))
