@@ -57,3 +57,19 @@ def test_cluster_2d_lane_shape():
     ch, ct, ci, _, _ = clmod.intersect(cs, tri, o, d, t_min, t_max)
     bh, bt, bi, _, _ = trimod.intersect_brute(tri, o, d, t_min, t_max)
     assert (np.asarray(bh) == np.asarray(ch)).mean() > 0.99
+
+
+def test_pallas_kernel_interpret_matches_brute():
+    """Pallas per-tile kernel (interpret mode) vs brute force."""
+    verts, idx = _random_soup(600, seed=21)
+    tri = _tri_soa(verts, idx)
+    cs = clmod.build_clusters(verts, idx, k=128)
+    o, d = _rand_rays(700, seed=22)
+    t_min = jnp.full((700,), 1e-4, jnp.float32)
+    t_max = jnp.full((700,), np.inf, jnp.float32)
+    bh, bt, bi, _, _ = trimod.intersect_brute(tri, o, d, t_min, t_max)
+    ph, pt, pi, _, _ = clmod.intersect_pallas(cs, tri, o, d, t_min, t_max,
+                                              interpret=True)
+    assert (np.asarray(bh) == np.asarray(ph)).mean() > 0.995
+    m = np.asarray(bh) & np.asarray(ph)
+    np.testing.assert_allclose(np.asarray(bt)[m], np.asarray(pt)[m], rtol=1e-3)
