@@ -97,8 +97,8 @@ def _make_kernel(tile, k):
         t0 = rays_ref[0, 10, :]
         init = (t0, jnp.full((tile,), -1, jnp.int32))
         t_best, best_slot = jax.lax.fori_loop(0, n_rounds, body, init)
-        t_out[0, :] = t_best
-        slot_out[0, :] = best_slot
+        t_out[0, 0, :] = t_best
+        slot_out[0, 0, :] = best_slot
 
     return kernel
 
@@ -118,18 +118,22 @@ def traverse_tiles(packed, rays, corder, counts, interpret=False):
             pl.BlockSpec(memory_space=pltpu.ANY),   # packed stays in HBM
         ],
         out_specs=[
-            pl.BlockSpec((1, tile), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tile), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tile), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
             pltpu.VMEM((CH, nfp, k), jnp.float32),
             pltpu.SemaphoreType.DMA((CH,)),
         ],
     )
-    return pl.pallas_call(
+    t_b, slot = pl.pallas_call(
         _make_kernel(tile, k),
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((nt, tile), jnp.float32),
-                   jax.ShapeDtypeStruct((nt, tile), jnp.int32)],
+        out_shape=[jax.ShapeDtypeStruct((nt, 1, tile), jnp.float32),
+                   jax.ShapeDtypeStruct((nt, 1, tile), jnp.int32)],
         interpret=interpret,
     )(counts, corder, rays, packed)
+    return t_b[:, 0, :], slot[:, 0, :]
+
