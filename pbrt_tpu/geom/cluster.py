@@ -389,7 +389,7 @@ def intersect_pallas(cs: ClusterSet, tri, o, d, t_min, t_max, interpret=False):
         comp["tmin"], comp["tmax"],
         jnp.zeros_like(comp["ox"]), jnp.zeros_like(comp["ox"]),
         jnp.zeros_like(comp["ox"]), jnp.zeros_like(comp["ox"]),
-        jnp.zeros_like(comp["ox"])], axis=1)          # (nt, 16, TILE)
+        jnp.zeros_like(comp["ox"])], axis=2)          # (nt, TILE, 16)
 
     t_best, slot = kp.traverse_tiles(cs.packed, rays, corder_p, counts,
                                      interpret=interpret)

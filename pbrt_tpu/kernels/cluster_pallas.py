@@ -14,7 +14,7 @@ Layout contract (produced by geom/cluster.py):
   packed   (C, NFP, K) f32  per-cluster Plücker features; K=128 lanes,
                             NFP=24 padded sublanes (22 used; see
                             cluster.py for the row meaning)
-  rays     (nt, 16, TILE) f32 component planes
+  rays     (nt, TILE, 16) f32 per-ray component columns
            [ox oy oz dx dy dz mx my mz tmin tmax pad...]
   corder   (nt, CPAD)  i32  per-tile cluster ids, ascending entry t
   counts   (nt,)       i32  covered clusters per tile
@@ -48,19 +48,22 @@ def _make_kernel(tile, k):
         count = counts_ref[i]
         n_rounds = (count + CH - 1) // CH
 
+        # rays block is (1, TILE, 16): components come out (TILE, 1) —
+        # sublane-major, which broadcasts cleanly against (1, K) feature
+        # rows without any lane<->sublane shape casts (Mosaic rejects
+        # those).
         def plane(row):
-            return rays_ref[0, row, :][:, None, None]      # (TILE,1,1)
+            return rays_ref[0, :, row:row + 1]              # (TILE, 1)
 
         ox, oy, oz = plane(0), plane(1), plane(2)
         dx, dy, dz = plane(3), plane(4), plane(5)
         mx, my, mz = plane(6), plane(7), plane(8)
         tmin = plane(9)
 
-        slot_local = (jax.lax.broadcasted_iota(jnp.int32, (1, CH, k), 1) * k
-                      + jax.lax.broadcasted_iota(jnp.int32, (1, CH, k), 2))
+        lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
 
         def body(r, carry):
-            t_best, best_slot = carry
+            t_best, best_key = carry
             for j in range(CH):
                 cid = corder_ref[i, r * CH + j]
                 pltpu.make_async_copy(packed_ref.at[cid], scratch.at[j],
@@ -69,36 +72,42 @@ def _make_kernel(tile, k):
                 pltpu.make_async_copy(packed_ref.at[0], scratch.at[j],
                                       sems.at[j]).wait()
 
-            def F(fi):
-                return scratch[:, fi, :][None, :, :]        # (1, CH, k)
+            for j in range(CH):
+                def F(fi):
+                    return scratch[j, fi:fi + 1, :]          # (1, k)
 
-            w0 = dx * F(0) + dy * F(1) + dz * F(2) + mx * F(3) + my * F(4) + mz * F(5)
-            w1 = dx * F(6) + dy * F(7) + dz * F(8) + mx * F(9) + my * F(10) + mz * F(11)
-            w2 = dx * F(12) + dy * F(13) + dz * F(14) + mx * F(15) + my * F(16) + mz * F(17)
-            same = ((w0 >= 0) & (w1 >= 0) & (w2 >= 0)) | \
-                   ((w0 <= 0) & (w1 <= 0) & (w2 <= 0))
-            ndotd = dx * F(18) + dy * F(19) + dz * F(20)
-            ndoto = ox * F(18) + oy * F(19) + oz * F(20)
-            t = (F(21) - ndoto) / jnp.where(jnp.abs(ndotd) > 1e-12, ndotd, 1e-12)
-            ok = same & (jnp.abs(ndotd) > 1e-12) & (t > tmin) \
-                & (t < t_best[:, None, None])
-            t = jnp.where(ok, t, INF)
-            t_bits = jax.lax.bitcast_convert_type(t, jnp.int32)
-            key = (t_bits & ~jnp.int32(SLOT_MASK)) | slot_local
-            kmin = jnp.min(key, axis=(1, 2))
-            local = kmin & SLOT_MASK
-            tj = jax.lax.bitcast_convert_type(kmin & ~jnp.int32(SLOT_MASK),
-                                              jnp.float32)
-            upd = tj < t_best
-            best_slot = jnp.where(upd, r * chk + local, best_slot)
-            t_best = jnp.where(upd, tj, t_best)
-            return t_best, best_slot
+                w0 = dx * F(0) + dy * F(1) + dz * F(2) \
+                    + mx * F(3) + my * F(4) + mz * F(5)
+                w1 = dx * F(6) + dy * F(7) + dz * F(8) \
+                    + mx * F(9) + my * F(10) + mz * F(11)
+                w2 = dx * F(12) + dy * F(13) + dz * F(14) \
+                    + mx * F(15) + my * F(16) + mz * F(17)
+                same = ((w0 >= 0) & (w1 >= 0) & (w2 >= 0)) | \
+                       ((w0 <= 0) & (w1 <= 0) & (w2 <= 0))
+                ndotd = dx * F(18) + dy * F(19) + dz * F(20)
+                ndoto = ox * F(18) + oy * F(19) + oz * F(20)
+                t = (F(21) - ndoto) / jnp.where(jnp.abs(ndotd) > 1e-12,
+                                                ndotd, 1e-12)
+                ok = same & (jnp.abs(ndotd) > 1e-12) & (t > tmin) \
+                    & (t < t_best)                           # (TILE, k)
+                t = jnp.where(ok, t, INF)
+                t_bits = jax.lax.bitcast_convert_type(t, jnp.int32)
+                key = (t_bits & ~jnp.int32(SLOT_MASK)) \
+                    | (lane_iota + 0)                        # lane slot
+                kmin = jnp.min(key, axis=1, keepdims=True)   # (TILE, 1)
+                tj = jax.lax.bitcast_convert_type(
+                    kmin & ~jnp.int32(SLOT_MASK), jnp.float32)
+                upd = tj < t_best
+                gslot = (r * CH + j) * k + (kmin & SLOT_MASK)
+                best_key = jnp.where(upd, gslot, best_key)
+                t_best = jnp.where(upd, tj, t_best)
+            return t_best, best_key
 
-        t0 = rays_ref[0, 10, :]
-        init = (t0, jnp.full((tile,), -1, jnp.int32))
-        t_best, best_slot = jax.lax.fori_loop(0, n_rounds, body, init)
-        t_out[0, 0, :] = t_best
-        slot_out[0, 0, :] = best_slot
+        t0 = rays_ref[0, :, 10:11]                           # (TILE, 1)
+        init = (t0, jnp.full((tile, 1), -1, jnp.int32))
+        t_best, best_key = jax.lax.fori_loop(0, n_rounds, body, init)
+        t_out[0, :, :] = t_best
+        slot_out[0, :, :] = best_key
 
     return kernel
 
@@ -107,20 +116,20 @@ def traverse_tiles(packed, rays, corder, counts, interpret=False):
     """packed (C, NFP, K) f32, rays (nt, 16, TILE) f32, corder (nt, CPAD)
     i32 (CPAD a CH multiple), counts (nt,) i32 →
     (t_best (nt, TILE) f32, slot (nt, TILE) i32)."""
-    nt, _, tile = rays.shape
+    nt, tile, _ = rays.shape
     c, nfp, k = packed.shape
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,     # counts, corder
         grid=(nt,),
         in_specs=[
-            pl.BlockSpec((1, 16, tile), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((1, tile, 16), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),   # packed stays in HBM
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, tile), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((1, tile, 1), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, tile), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((1, tile, 1), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
@@ -131,9 +140,9 @@ def traverse_tiles(packed, rays, corder, counts, interpret=False):
     t_b, slot = pl.pallas_call(
         _make_kernel(tile, k),
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((nt, 1, tile), jnp.float32),
-                   jax.ShapeDtypeStruct((nt, 1, tile), jnp.int32)],
+        out_shape=[jax.ShapeDtypeStruct((nt, tile, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((nt, tile, 1), jnp.int32)],
         interpret=interpret,
     )(counts, corder, rays, packed)
-    return t_b[:, 0, :], slot[:, 0, :]
+    return t_b[:, :, 0], slot[:, :, 0]
 
