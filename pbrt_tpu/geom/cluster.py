@@ -42,16 +42,31 @@ from ..core.types import Float, Int, INF
 from . import triangle as trimod
 
 TILE = 256           # rays per tile
-CHUNK_CLUSTERS = 32  # clusters fetched per round
 _SLOT_BITS = 11      # low mantissa bits of t reused for the slot index
+
+
+def _chunk_clusters(k):
+    """Clusters fetched per jnp-tracer round; chunk·k slots must fit in
+    the _SLOT_BITS low mantissa bits of the packed t|slot key."""
+    return max(1, (1 << _SLOT_BITS) // k)
 # packed per-tri feature layout (C, NF, K) (+2 zero pad rows → 24 for
 # TPU sublane alignment in the pallas kernel):
 # 0:3 U0 | 3:6 V0 | 6:9 U1 | 9:12 V1 | 12:15 U2 | 15:18 V2 | 18:21 n | 21 k
 NF = 24
+# MXU feature layout (C, 16, 5K): the whole Plücker+plane test becomes
+# ONE f32 matmul L(TILE,16) @ F(16,5K) on the systolic array, with
+# L = [dx dy dz mx my mz 0 0 ox oy oz 1 0 0 0 0] per ray.
+#   cols [0,K):   rows 0:3 = U0, rows 3:6 = V0         → w0
+#   cols [K,2K):  rows 0:3 = U1, rows 3:6 = V1         → w1
+#   cols [2K,3K): rows 0:3 = U2, rows 3:6 = V2         → w2
+#   cols [3K,4K): rows 0:3 = n                         → n·d
+#   cols [4K,5K): rows 8:11 = −n, row 11 = k_plane     → k − n·o
+NF_MXU = 16
 
 
 class ClusterSet(NamedTuple):
     packed: jnp.ndarray    # (C, NF, K) Plücker/plane features
+    packed_mxu: jnp.ndarray  # (C, 16, 5K) matmul layout (see NF_MXU)
     c_p0: jnp.ndarray      # (C, K, 3) corners (for final barycentric pass)
     c_p1: jnp.ndarray
     c_p2: jnp.ndarray
@@ -70,7 +85,7 @@ class ClusterSet(NamedTuple):
         return self.packed.shape[2]
 
 
-def build_clusters(positions, indices, prim_order=None, k=64):
+def build_clusters(positions, indices, prim_order=None, k=128):
     """Group triangles into K-sized clusters following `prim_order`
     (SAH depth-first order → spatial coherence). Host-side numpy."""
     positions = np.asarray(positions, np.float32)
@@ -111,6 +126,17 @@ def build_clusters(positions, indices, prim_order=None, k=64):
          np.zeros((len(p0), 2))], axis=1).astype(np.float32)
     packed = packed.reshape(c, k, NF).transpose(0, 2, 1)   # (C, NF, K)
 
+    nt_ = c * k
+    mxu = np.zeros((nt_, NF_MXU, 5), np.float32)           # (tri, row, block)
+    mxu[:, 0:3, 0] = u0; mxu[:, 3:6, 0] = v0
+    mxu[:, 0:3, 1] = u1; mxu[:, 3:6, 1] = v1
+    mxu[:, 0:3, 2] = u2; mxu[:, 3:6, 2] = v2
+    mxu[:, 0:3, 3] = n
+    mxu[:, 8:11, 4] = -n; mxu[:, 11, 4] = kplane
+    # (C, 16, 5K): block-major columns [w0|w1|w2|nd|tnum], K lanes each
+    packed_mxu = mxu.reshape(c, k, NF_MXU, 5).transpose(0, 2, 3, 1) \
+        .reshape(c, NF_MXU, 5 * k)
+
     p0f = p0.astype(np.float32).reshape(c, k, 3)
     p1f = p1.astype(np.float32).reshape(c, k, 3)
     p2f = p2.astype(np.float32).reshape(c, k, 3)
@@ -119,6 +145,7 @@ def build_clusters(positions, indices, prim_order=None, k=64):
     bmax = np.maximum(np.maximum(p0f.max(1), p1f.max(1)), p2f.max(1))
     return ClusterSet(
         packed=jnp.asarray(packed),
+        packed_mxu=jnp.asarray(packed_mxu),
         c_p0=jnp.asarray(p0f), c_p1=jnp.asarray(p1f), c_p2=jnp.asarray(p2f),
         c_tri_id=jnp.asarray(tri_id),
         c_bmin=jnp.asarray(bmin), c_bmax=jnp.asarray(bmax),
@@ -274,29 +301,30 @@ def intersect(cs: ClusterSet, tri, o, d, t_min, t_max):
     shp, n, order, comp, os, ds, nt = _prepare(cs, o, d, t_min, t_max)
     c = cs.n_clusters
     k = cs.cluster_size
+    ch = _chunk_clusters(k)
 
     cov, tnear = _tile_cluster_pass(cs, os, ds, comp["tmin"], comp["tmax"])
     corder, tnear_sorted = _sorted_cluster_order(cov, tnear)
 
-    max_rounds = (c + CHUNK_CLUSTERS - 1) // CHUNK_CLUSTERS
-    pad_c = max_rounds * CHUNK_CLUSTERS - c
+    max_rounds = (c + ch - 1) // ch
+    pad_c = max_rounds * ch - c
     corder_p = jnp.pad(corder, ((0, 0), (0, pad_c)))
     tnear_p = jnp.pad(tnear_sorted, ((0, 0), (0, pad_c)), constant_values=INF)
 
     def cond(s):
         r, _, t_best, _ = s
-        next_tn = jax.lax.dynamic_slice_in_dim(tnear_p, r * CHUNK_CLUSTERS, 1, axis=1)[:, 0]
+        next_tn = jax.lax.dynamic_slice_in_dim(tnear_p, r * ch, 1, axis=1)[:, 0]
         return (r < max_rounds) & jnp.any(next_tn < jnp.max(t_best, axis=1))
 
-    chk = CHUNK_CLUSTERS * k
+    chk = ch * k
     slot_iota = jax.lax.broadcasted_iota(Int, (1, 1, chk), 2)
     slot_mask = (1 << _SLOT_BITS) - 1
     assert chk <= (1 << _SLOT_BITS)
 
     def body(s):
         r, hitb, t_best, i_best = s
-        cids = jax.lax.dynamic_slice_in_dim(corder_p, r * CHUNK_CLUSTERS,
-                                            CHUNK_CLUSTERS, axis=1)     # (nt, CH)
+        cids = jax.lax.dynamic_slice_in_dim(corder_p, r * ch,
+                                            ch, axis=1)     # (nt, CH)
         t = _round_test(cs, comp, cids, t_best)       # (nt, TILE, CHK)
         # pack (t, slot) into one int key: low mantissa bits carry the
         # slot, so a single min-reduce yields both the (slightly
@@ -340,24 +368,25 @@ def occluded(cs: ClusterSet, tri, o, d, t_min, t_max):
     shp, n, order, comp, os, ds, nt = _prepare(cs, o, d, t_min, t_max)
     c = cs.n_clusters
     k = cs.cluster_size
+    ch = _chunk_clusters(k)
     cov, tnear = _tile_cluster_pass(cs, os, ds, comp["tmin"], comp["tmax"])
     corder, tnear_sorted = _sorted_cluster_order(cov, tnear)
-    max_rounds = (c + CHUNK_CLUSTERS - 1) // CHUNK_CLUSTERS
-    pad_c = max_rounds * CHUNK_CLUSTERS - c
+    max_rounds = (c + ch - 1) // ch
+    pad_c = max_rounds * ch - c
     corder_p = jnp.pad(corder, ((0, 0), (0, pad_c)))
     tnear_p = jnp.pad(tnear_sorted, ((0, 0), (0, pad_c)), constant_values=INF)
     live_lane = comp["tmax"] > comp["tmin"]
 
     def cond(s):
         r, occ = s
-        next_tn = jax.lax.dynamic_slice_in_dim(tnear_p, r * CHUNK_CLUSTERS, 1, axis=1)[:, 0]
+        next_tn = jax.lax.dynamic_slice_in_dim(tnear_p, r * ch, 1, axis=1)[:, 0]
         tile_live = jnp.any(live_lane & ~occ, axis=1) & (next_tn < INF)
         return (r < max_rounds) & jnp.any(tile_live)
 
     def body(s):
         r, occ = s
-        cids = jax.lax.dynamic_slice_in_dim(corder_p, r * CHUNK_CLUSTERS,
-                                            CHUNK_CLUSTERS, axis=1)
+        cids = jax.lax.dynamic_slice_in_dim(corder_p, r * ch,
+                                            ch, axis=1)
         t = _round_test(cs, comp, cids, comp["tmax"])
         return r + 1, occ | jnp.any(t < INF, axis=-1)
 
@@ -367,32 +396,43 @@ def occluded(cs: ClusterSet, tri, o, d, t_min, t_max):
     return occ.reshape(-1)[inv].reshape(shp)
 
 
-def intersect_pallas(cs: ClusterSet, tri, o, d, t_min, t_max, interpret=False):
-    """Closest-hit via the pallas per-tile kernel
-    (kernels/cluster_pallas.py). Requires a ClusterSet built with
-    k=128. Same return contract as `intersect`."""
+def _pallas_inputs(cs, comp, os_, ds_):
+    """Coverage pass + the L-row ray layout of the MXU kernel
+    (kernels/cluster_pallas.py: L = [d m 0 0 o 1 tmin tmax 0 0])."""
     from ..kernels import cluster_pallas as kp
-    shp, n, order, comp, os_, ds_, nt = _prepare(cs, o, d, t_min, t_max)
     c = cs.n_clusters
-    k = cs.cluster_size
-
     cov, tnear = _tile_cluster_pass(cs, os_, ds_, comp["tmin"], comp["tmax"])
     corder, tnear_sorted = _sorted_cluster_order(cov, tnear)
     counts = jnp.sum(cov, axis=1).astype(Int)
     pad_c = (-c) % kp.CH
     corder_p = jnp.pad(corder, ((0, 0), (0, pad_c)))
-
+    tnear_p = jnp.pad(tnear_sorted, ((0, 0), (0, pad_c)), constant_values=INF)
+    z = jnp.zeros_like(comp["ox"])
+    one = jnp.ones_like(comp["ox"])
+    # tmin/tmax ride in matmul columns (their feature rows are zero) —
+    # they MUST be finite: 0·inf = NaN would poison the whole W row.
+    big = Float(3e37)
+    tmin_c = jnp.clip(comp["tmin"], -big, big)
+    tmax_c = jnp.clip(comp["tmax"], -big, big)
     rays = jnp.stack([
-        comp["ox"], comp["oy"], comp["oz"],
         comp["dx"], comp["dy"], comp["dz"],
-        comp["mx"], comp["my"], comp["mz"],
-        comp["tmin"], comp["tmax"],
-        jnp.zeros_like(comp["ox"]), jnp.zeros_like(comp["ox"]),
-        jnp.zeros_like(comp["ox"]), jnp.zeros_like(comp["ox"]),
-        jnp.zeros_like(comp["ox"])], axis=2)          # (nt, TILE, 16)
+        comp["mx"], comp["my"], comp["mz"], z, z,
+        comp["ox"], comp["oy"], comp["oz"], one,
+        tmin_c, tmax_c, z, z], axis=2)                # (nt, TILE, 16)
+    return rays, corder_p, tnear_p, counts
 
-    t_best, slot = kp.traverse_tiles(cs.packed, rays, corder_p, counts,
-                                     interpret=interpret)
+
+def intersect_pallas(cs: ClusterSet, tri, o, d, t_min, t_max, interpret=False):
+    """Closest-hit via the pallas per-tile MXU kernel
+    (kernels/cluster_pallas.py). Requires a ClusterSet built with
+    k=128. Same return contract as `intersect`."""
+    from ..kernels import cluster_pallas as kp
+    shp, n, order, comp, os_, ds_, nt = _prepare(cs, o, d, t_min, t_max)
+    k = cs.cluster_size
+    rays, corder_p, tnear_p, counts = _pallas_inputs(cs, comp, os_, ds_)
+
+    t_best, slot = kp.traverse_tiles(cs.packed_mxu, rays, corder_p, tnear_p,
+                                     counts, interpret=interpret)
     hit = slot >= 0
     slot_c = jnp.maximum(slot, 0)
     cl = jnp.take_along_axis(corder_p, slot_c // k, axis=1)
@@ -412,3 +452,15 @@ def intersect_pallas(cs: ClusterSet, tri, o, d, t_min, t_max, interpret=False):
                                        hit_flat, idx_flat)
     return (ok.reshape(shp), t_fin.reshape(shp), idx_flat.reshape(shp),
             b1.reshape(shp), b2.reshape(shp))
+
+
+def occluded_pallas(cs: ClusterSet, tri, o, d, t_min, t_max, interpret=False):
+    """Any-hit via the pallas per-tile MXU kernel. Same return contract
+    as `occluded`."""
+    from ..kernels import cluster_pallas as kp
+    shp, n, order, comp, os_, ds_, nt = _prepare(cs, o, d, t_min, t_max)
+    rays, corder_p, tnear_p, counts = _pallas_inputs(cs, comp, os_, ds_)
+    occ = kp.occluded_tiles(cs.packed_mxu, rays, corder_p, tnear_p, counts,
+                            interpret=interpret)
+    inv = jnp.argsort(order)
+    return occ.reshape(-1)[inv].reshape(shp)
