@@ -44,6 +44,16 @@ from . import triangle as trimod
 TILE = 256           # rays per tile
 _SLOT_BITS = 11      # low mantissa bits of t reused for the slot index
 
+# tri-state override for the pallas kernel path: None = auto (use the
+# pallas per-tile kernel on TPU, the jnp lock-step tracer elsewhere).
+USE_PALLAS = None
+
+
+def pallas_enabled(cs) -> bool:
+    if USE_PALLAS is not None:
+        return bool(USE_PALLAS)
+    return jax.default_backend() == "tpu" and cs.cluster_size == 128
+
 
 def _chunk_clusters(k):
     """Clusters fetched per jnp-tracer round; chunk·k slots must fit in

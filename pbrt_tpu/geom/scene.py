@@ -88,7 +88,10 @@ def intersect(scene: Scene, o, d, t_min=None, t_max=None) -> Hit:
     if scene.tri.count:
         if scene.clusters is not None:
             from . import cluster as clmod
-            t_hit, t_t, t_idx, b1, b2 = clmod.intersect(
+            cl_intersect = (clmod.intersect_pallas
+                            if clmod.pallas_enabled(scene.clusters)
+                            else clmod.intersect)
+            t_hit, t_t, t_idx, b1, b2 = cl_intersect(
                 scene.clusters, scene.tri, o, d, t_min, best_t)
         elif scene.bvh is not None:
             from . import bvh as bvhmod
@@ -141,7 +144,10 @@ def occluded(scene: Scene, o, d, t_min=None, t_max=None):
     if scene.tri.count:
         if scene.clusters is not None:
             from . import cluster as clmod
-            occ = occ | clmod.occluded(scene.clusters, scene.tri, o, d, t_min, t_max)
+            cl_occluded = (clmod.occluded_pallas
+                           if clmod.pallas_enabled(scene.clusters)
+                           else clmod.occluded)
+            occ = occ | cl_occluded(scene.clusters, scene.tri, o, d, t_min, t_max)
         elif scene.bvh is not None:
             from . import bvh as bvhmod
             occ = occ | bvhmod.traverse_any(scene.bvh, scene.tri, o, d, t_min, t_max)

@@ -201,16 +201,19 @@ def _make_anyhit_kernel(tile, k):
                 W = _dot(L, scratch[cur])
                 for j in range(CH):
                     t = _cluster_blocks(W, j, k, tmin, tmax)
-                    occ = occ | jnp.any(t < INF, axis=1, keepdims=True)
+                    # occ carried as i32: Mosaic can't legalize (TILE,1)
+                    # i1 vectors as fori_loop carries.
+                    occ = occ | jnp.any(t < INF, axis=1,
+                                        keepdims=True).astype(jnp.int32)
                 return occ
 
             occ = jax.lax.cond(done, lambda o: o, compute, occ)
-            done = jnp.all(occ | ~live)
+            done = jnp.all((occ != 0) | ~live)
             return occ, done
 
-        init = (jnp.zeros((tile, 1), jnp.bool_), jnp.zeros((), jnp.bool_))
+        init = (jnp.zeros((tile, 1), jnp.int32), jnp.zeros((), jnp.bool_))
         occ, _ = jax.lax.fori_loop(0, n_rounds, body, init)
-        occ_out[0, :, :] = occ.astype(jnp.int32)
+        occ_out[0, :, :] = occ
 
     return kernel
 
