@@ -63,20 +63,23 @@ def _chunk_clusters(k):
 # TPU sublane alignment in the pallas kernel):
 # 0:3 U0 | 3:6 V0 | 6:9 U1 | 9:12 V1 | 12:15 U2 | 15:18 V2 | 18:21 n | 21 k
 NF = 24
-# MXU feature layout (C, 16, 5K): the whole Plücker+plane test becomes
-# ONE f32 matmul L(TILE,16) @ F(16,5K) on the systolic array, with
-# L = [dx dy dz mx my mz 0 0 ox oy oz 1 0 0 0 0] per ray.
-#   cols [0,K):   rows 0:3 = U0, rows 3:6 = V0         → w0
-#   cols [K,2K):  rows 0:3 = U1, rows 3:6 = V1         → w1
-#   cols [2K,3K): rows 0:3 = U2, rows 3:6 = V2         → w2
-#   cols [3K,4K): rows 0:3 = n                         → n·d
-#   cols [4K,5K): rows 8:11 = −n, row 11 = k_plane     → k − n·o
+# MXU feature layout (C, 16, 5, K): the whole Plücker+plane test
+# becomes ONE f32 matmul L(TILE,16) @ F(16, 5·CH·K) per round on the
+# systolic array, with L = [dx dy dz mx my mz 0 0 ox oy oz 1 0 0 0 0]
+# per ray. Block axis b (second-to-last) selects the plane:
+#   b=0: rows 0:3 = U0, rows 3:6 = V0         → w0
+#   b=1: rows 0:3 = U1, rows 3:6 = V1         → w1
+#   b=2: rows 0:3 = U2, rows 3:6 = V2         → w2
+#   b=3: rows 0:3 = n                         → n·d
+#   b=4: rows 8:11 = −n, row 11 = k_plane     → k − n·o
+# The kernel DMAs whole clusters into block-major scratch
+# (16, 5, CH, K) so each plane is one contiguous (TILE, CH·K) slice.
 NF_MXU = 16
 
 
 class ClusterSet(NamedTuple):
     packed: jnp.ndarray    # (C, NF, K) Plücker/plane features
-    packed_mxu: jnp.ndarray  # (C, 16, 5K) matmul layout (see NF_MXU)
+    packed_mxu: jnp.ndarray  # (C, 16, 5, K) matmul layout (see NF_MXU)
     c_p0: jnp.ndarray      # (C, K, 3) corners (for final barycentric pass)
     c_p1: jnp.ndarray
     c_p2: jnp.ndarray
@@ -143,9 +146,8 @@ def build_clusters(positions, indices, prim_order=None, k=128):
     mxu[:, 0:3, 2] = u2; mxu[:, 3:6, 2] = v2
     mxu[:, 0:3, 3] = n
     mxu[:, 8:11, 4] = -n; mxu[:, 11, 4] = kplane
-    # (C, 16, 5K): block-major columns [w0|w1|w2|nd|tnum], K lanes each
-    packed_mxu = mxu.reshape(c, k, NF_MXU, 5).transpose(0, 2, 3, 1) \
-        .reshape(c, NF_MXU, 5 * k)
+    # (C, 16, 5, K): per cluster, feature rows × plane block × K lanes
+    packed_mxu = mxu.reshape(c, k, NF_MXU, 5).transpose(0, 2, 3, 1)
 
     p0f = p0.astype(np.float32).reshape(c, k, 3)
     p1f = p1.astype(np.float32).reshape(c, k, 3)

@@ -1,6 +1,6 @@
 """Pallas TPU kernels for tile×cluster ray traversal.
 
-Two design decisions carry all the performance here:
+Three design decisions carry all the performance here:
 
 1. **Per-tile trip counts.** The jnp tracer (geom/cluster.py) runs all
    tiles in lock-step: every round sweeps (tiles × TILE × CH·K) lanes
@@ -14,16 +14,21 @@ Two design decisions carry all the performance here:
 
 2. **The intersection test is a matmul.** The scalarised Plücker test
    (w_i = d·U_i + m·V_i, t = (k − n·o)/(n·d)) is linear in the ray, so
-   for a whole cluster it is ONE f32 matmul on the MXU systolic array:
-   L(TILE,16) @ F(16,5K) with ray rows L = [d m 0 0 o 1 tmin tmax 0 0]
-   and per-triangle feature columns [U|V, n, −n|k] (layout in
-   geom/cluster.py NF_MXU). tmin/tmax ride in L columns whose feature
-   rows are zero, so they don't perturb the product. Only the sign
-   tests, the division and the argmin reduction stay on the VPU — ~8×
-   less VPU work than the FMA-chain formulation.
+   for a whole round of CH clusters it is ONE f32 matmul on the MXU
+   systolic array: L(TILE,16) @ F(16, 5·CH·K) with ray rows
+   L = [d m 0 0 o 1 tmin tmax 0 0]. tmin/tmax ride in L columns whose
+   feature rows are zero, so they don't perturb the product. Only the
+   sign tests, the division and the argmin reduction stay on the VPU.
+
+3. **Block-major rounds.** The HBM layout is (C, 16, 5, K): one DMA
+   per cluster lands block-major in scratch (16, 5, CH, K), so after
+   the matmul each of the five Plücker planes [w0|w1|w2|nd|tnum] is a
+   single contiguous (TILE, CH·K) slice — the whole VPU tail runs once
+   per round on wide vectors instead of once per cluster on narrow
+   ones (~CH× fewer vector instructions).
 
 Layout contract (produced by geom/cluster.py):
-  packed_mxu (C, 16, 5K) f32  MXU feature blocks; K=128 lanes
+  packed_mxu (C, 16, 5, K) f32  MXU feature blocks; K=128 lanes
   rays       (nt, TILE, 16) f32 L rows as above
   corder     (nt, CPAD) i32   per-tile cluster ids, ascending entry t
   tnear      (nt, CPAD) f32   matching entry t (INF past the coverage)
@@ -36,6 +41,8 @@ outputs:
 """
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -45,28 +52,61 @@ from ..core.types import INF
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-CH = 4          # clusters fetched per round
+CH = 8          # clusters fetched per round
 SLOT_MASK = 2047
 _EPS = 1e-12
 
+# MXU precision for the Plücker matmul. "highest" = 6 bf16 passes
+# (exact f32); "bf16x3" = manual 3-pass split-float (hi/lo bf16,
+# dropping only the lo·lo term ~2^-16 relative — f32-faithful
+# products, validated against brute force on real scenes, 2× faster).
+# Mosaic has no native Precision.HIGH, hence the manual split.
+# "default" (1 bf16 pass) flips sign tests on near-edge hits — only
+# for experiments.
+PRECISION = os.environ.get("PBRT_TPU_MXU_PRECISION", "bf16x3")
 
-def _dot(L, F):
-    # HIGHEST: full-f32 MXU passes. DEFAULT would run one bf16 pass
-    # (8-bit mantissa) and flip the w-sign tests on near-edge hits.
+
+def _dot_raw(L, F, precision):
     return jax.lax.dot_general(L, F, (((1,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32,
-                               precision=jax.lax.Precision.HIGHEST)
+                               precision=precision)
 
 
-def _cluster_blocks(W, j, k, tmin, t_lim):
-    """VPU tail of the matmul: sign test, plane t, validity mask.
-    Returns t (TILE, K) with misses at INF."""
-    kb = 5 * k
-    w0 = W[:, j * kb + 0 * k: j * kb + 1 * k]
-    w1 = W[:, j * kb + 1 * k: j * kb + 2 * k]
-    w2 = W[:, j * kb + 2 * k: j * kb + 3 * k]
-    nd = W[:, j * kb + 3 * k: j * kb + 4 * k]
-    tnum = W[:, j * kb + 4 * k: j * kb + 5 * k]
+def _split_bf16(x):
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _dot(L, F):
+    if PRECISION == "highest":
+        return _dot_raw(L, F, jax.lax.Precision.HIGHEST)
+    if PRECISION == "default":
+        return _dot_raw(L, F, jax.lax.Precision.DEFAULT)
+    lhi, llo = _split_bf16(L)
+    fhi, flo = _split_bf16(F)
+    d = jax.lax.Precision.DEFAULT
+    return (_dot_raw(lhi, fhi, d) + _dot_raw(lhi, flo, d)
+            + _dot_raw(llo, fhi, d))
+
+
+def _round_planes(L, scratch_round, k):
+    """MXU pass for one round + the five contiguous plane slices.
+    scratch_round: (16, 5, CH·K) block-major features."""
+    chk = scratch_round.shape[2] * scratch_round.shape[3]
+    W = _dot(L, scratch_round.reshape(16, 5 * chk))   # (TILE, 5·CHK)
+    w0 = W[:, 0 * chk:1 * chk]
+    w1 = W[:, 1 * chk:2 * chk]
+    w2 = W[:, 2 * chk:3 * chk]
+    nd = W[:, 3 * chk:4 * chk]
+    tnum = W[:, 4 * chk:5 * chk]
+    return w0, w1, w2, nd, tnum
+
+
+def _round_t(L, scratch_round, k, tmin, t_lim):
+    """Fused VPU tail: sign test, plane t, validity → t (TILE, CHK)
+    with misses at INF."""
+    w0, w1, w2, nd, tnum = _round_planes(L, scratch_round, k)
     same = ((w0 >= 0) & (w1 >= 0) & (w2 >= 0)) | \
            ((w0 <= 0) & (w1 <= 0) & (w2 <= 0))
     ndok = jnp.abs(nd) > _EPS
@@ -75,8 +115,25 @@ def _cluster_blocks(W, j, k, tmin, t_lim):
     return jnp.where(ok, t, INF)
 
 
+def _start_round(corder_ref, packed_ref, scratch, sems, r, s):
+    for j in range(CH):
+        cid = corder_ref[0, 0, r * CH + j]
+        pltpu.make_async_copy(
+            packed_ref.at[cid],
+            scratch.at[s, :, :, j, :],
+            sems.at[s, j]).start()
+
+
+def _wait_round(packed_ref, scratch, sems, s):
+    for j in range(CH):
+        pltpu.make_async_copy(
+            packed_ref.at[0],
+            scratch.at[s, :, :, j, :],
+            sems.at[s, j]).wait()
+
+
 def _make_closest_kernel(tile, k):
-    kb = 5 * k
+    chk = CH * k
 
     def kernel(counts_ref, corder_ref, tnear_ref, rays_ref, packed_ref,
                t_out, slot_out, scratch, sems):
@@ -87,26 +144,11 @@ def _make_closest_kernel(tile, k):
         L = rays_ref[0]                                  # (TILE, 16)
         tmin = rays_ref[0, :, 12:13]
         tmax = rays_ref[0, :, 13:14]
-        lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
-
-        def start_round(r, s):
-            for j in range(CH):
-                cid = corder_ref[0, 0, r * CH + j]
-                pltpu.make_async_copy(
-                    packed_ref.at[cid],
-                    scratch.at[s, slice(None), pl.ds(j * kb, kb)],
-                    sems.at[s, j]).start()
-
-        def wait_round(s):
-            for j in range(CH):
-                pltpu.make_async_copy(
-                    packed_ref.at[0],
-                    scratch.at[s, slice(None), pl.ds(j * kb, kb)],
-                    sems.at[s, j]).wait()
+        slot_iota = jax.lax.broadcasted_iota(jnp.int32, (1, chk), 1)
 
         @pl.when(n_rounds > 0)
         def _():
-            start_round(0, 0)
+            _start_round(corder_ref, packed_ref, scratch, sems, 0, 0)
 
         def body(r, carry):
             t_best, best_slot, done = carry
@@ -114,28 +156,27 @@ def _make_closest_kernel(tile, k):
 
             @pl.when(r + 1 < n_rounds)
             def _():
-                start_round(r + 1, 1 - cur)
-            wait_round(cur)
+                _start_round(corder_ref, packed_ref, scratch, sems,
+                             r + 1, 1 - cur)
+            _wait_round(packed_ref, scratch, sems, cur)
 
             def compute(args):
                 t_best, best_slot = args
-                W = _dot(L, scratch[cur])                # (TILE, CH·kb) MXU
-                for j in range(CH):
-                    t = _cluster_blocks(W, j, k, tmin, t_best)
-                    # pack (t, lane) into one int key: a single
-                    # min-reduce yields both the (slightly conservative)
-                    # best t and the winning lane; exact t is recovered
-                    # by the host-side finalize pass. t > tmin ≥ 0 keeps
-                    # the f32 bit pattern order-preserving as int32.
-                    t_bits = jax.lax.bitcast_convert_type(t, jnp.int32)
-                    key = (t_bits & ~jnp.int32(SLOT_MASK)) | lane_iota
-                    kmin = jnp.min(key, axis=1, keepdims=True)
-                    tj = jax.lax.bitcast_convert_type(
-                        kmin & ~jnp.int32(SLOT_MASK), jnp.float32)
-                    upd = tj < t_best
-                    gslot = (r * CH + j) * k + (kmin & SLOT_MASK)
-                    best_slot = jnp.where(upd, gslot, best_slot)
-                    t_best = jnp.where(upd, tj, t_best)
+                t = _round_t(L, scratch[cur], k, tmin, t_best)
+                # pack (t, slot) into one int key: a single min-reduce
+                # yields both the (slightly conservative) best t and
+                # the winning lane; the exact t is recovered by the
+                # host-side finalize pass. t > tmin ≥ 0 keeps the f32
+                # bit pattern order-preserving as int32.
+                t_bits = jax.lax.bitcast_convert_type(t, jnp.int32)
+                key = (t_bits & ~jnp.int32(SLOT_MASK)) | slot_iota
+                kmin = jnp.min(key, axis=1, keepdims=True)
+                tj = jax.lax.bitcast_convert_type(
+                    kmin & ~jnp.int32(SLOT_MASK), jnp.float32)
+                upd = tj < t_best
+                gslot = r * chk + (kmin & SLOT_MASK)
+                best_slot = jnp.where(upd, gslot, best_slot)
+                t_best = jnp.where(upd, tj, t_best)
                 return t_best, best_slot
 
             t_best, best_slot = jax.lax.cond(
@@ -157,8 +198,6 @@ def _make_closest_kernel(tile, k):
 
 
 def _make_anyhit_kernel(tile, k):
-    kb = 5 * k
-
     def kernel(counts_ref, corder_ref, tnear_ref, rays_ref, packed_ref,
                occ_out, scratch, sems):
         count = counts_ref[0, 0, 0]
@@ -169,24 +208,9 @@ def _make_anyhit_kernel(tile, k):
         tmax = rays_ref[0, :, 13:14]
         live = tmax > tmin
 
-        def start_round(r, s):
-            for j in range(CH):
-                cid = corder_ref[0, 0, r * CH + j]
-                pltpu.make_async_copy(
-                    packed_ref.at[cid],
-                    scratch.at[s, slice(None), pl.ds(j * kb, kb)],
-                    sems.at[s, j]).start()
-
-        def wait_round(s):
-            for j in range(CH):
-                pltpu.make_async_copy(
-                    packed_ref.at[0],
-                    scratch.at[s, slice(None), pl.ds(j * kb, kb)],
-                    sems.at[s, j]).wait()
-
         @pl.when(n_rounds > 0)
         def _():
-            start_round(0, 0)
+            _start_round(corder_ref, packed_ref, scratch, sems, 0, 0)
 
         def body(r, carry):
             occ, done = carry
@@ -194,18 +218,16 @@ def _make_anyhit_kernel(tile, k):
 
             @pl.when(r + 1 < n_rounds)
             def _():
-                start_round(r + 1, 1 - cur)
-            wait_round(cur)
+                _start_round(corder_ref, packed_ref, scratch, sems,
+                             r + 1, 1 - cur)
+            _wait_round(packed_ref, scratch, sems, cur)
 
             def compute(occ):
-                W = _dot(L, scratch[cur])
-                for j in range(CH):
-                    t = _cluster_blocks(W, j, k, tmin, tmax)
-                    # occ carried as i32: Mosaic can't legalize (TILE,1)
-                    # i1 vectors as fori_loop carries.
-                    occ = occ | jnp.any(t < INF, axis=1,
-                                        keepdims=True).astype(jnp.int32)
-                return occ
+                t = _round_t(L, scratch[cur], k, tmin, tmax)
+                # occ carried as i32: Mosaic can't legalize (TILE,1)
+                # i1 vectors as fori_loop carries.
+                return occ | jnp.any(t < INF, axis=1,
+                                     keepdims=True).astype(jnp.int32)
 
             occ = jax.lax.cond(done, lambda o: o, compute, occ)
             done = jnp.all((occ != 0) | ~live)
@@ -218,7 +240,7 @@ def _make_anyhit_kernel(tile, k):
     return kernel
 
 
-def _common_specs(nt, tile, kb, cpad, n_out):
+def _common_specs(nt, tile, cpad, n_out):
     """(in_specs, out_specs) for the traversal kernels.
 
     counts/corder/tnear ride as per-tile SMEM blocks: whole-array
@@ -243,22 +265,21 @@ def _common_specs(nt, tile, kb, cpad, n_out):
 
 
 def traverse_tiles(packed_mxu, rays, corder, tnear, counts, interpret=False):
-    """Closest hit. packed_mxu (C, 16, 5K) f32, rays (nt, TILE, 16) f32,
-    corder (nt, CPAD) i32 / tnear (nt, CPAD) f32 (CPAD a CH multiple,
-    ascending entry t), counts (nt,) i32 →
+    """Closest hit. packed_mxu (C, 16, 5, K) f32, rays (nt, TILE, 16)
+    f32, corder (nt, CPAD) i32 / tnear (nt, CPAD) f32 (CPAD a CH
+    multiple, ascending entry t), counts (nt,) i32 →
     (t_best (nt, TILE) f32, slot (nt, TILE) i32, slot = rank·K+lane)."""
     nt, tile, _ = rays.shape
-    c, nf, kb5 = packed_mxu.shape
-    k = kb5 // 5
+    c, nf, nb, k = packed_mxu.shape
     cpad = corder.shape[1]
-    in_specs, out_specs = _common_specs(nt, tile, kb5, cpad, 2)
+    in_specs, out_specs = _common_specs(nt, tile, cpad, 2)
     t_b, slot = pl.pallas_call(
         _make_closest_kernel(tile, k),
         grid=(nt,), in_specs=in_specs, out_specs=out_specs,
         out_shape=[jax.ShapeDtypeStruct((nt, tile, 1), jnp.float32),
                    jax.ShapeDtypeStruct((nt, tile, 1), jnp.int32)],
         scratch_shapes=[
-            pltpu.VMEM((2, 16, CH * kb5), jnp.float32),
+            pltpu.VMEM((2, 16, 5, CH, k), jnp.float32),
             pltpu.SemaphoreType.DMA((2, CH)),
         ],
         interpret=interpret,
@@ -271,16 +292,15 @@ def occluded_tiles(packed_mxu, rays, corder, tnear, counts, interpret=False):
     """Any hit (shadow rays). Same layout contract as traverse_tiles →
     occ (nt, TILE) bool."""
     nt, tile, _ = rays.shape
-    c, nf, kb5 = packed_mxu.shape
-    k = kb5 // 5
+    c, nf, nb, k = packed_mxu.shape
     cpad = corder.shape[1]
-    in_specs, out_specs = _common_specs(nt, tile, kb5, cpad, 1)
+    in_specs, out_specs = _common_specs(nt, tile, cpad, 1)
     occ = pl.pallas_call(
         _make_anyhit_kernel(tile, k),
         grid=(nt,), in_specs=in_specs, out_specs=out_specs,
         out_shape=[jax.ShapeDtypeStruct((nt, tile, 1), jnp.int32)],
         scratch_shapes=[
-            pltpu.VMEM((2, 16, CH * kb5), jnp.float32),
+            pltpu.VMEM((2, 16, 5, CH, k), jnp.float32),
             pltpu.SemaphoreType.DMA((2, CH)),
         ],
         interpret=interpret,
