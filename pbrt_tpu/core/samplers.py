@@ -121,7 +121,8 @@ DIM_FILM = 0          # 2D: film jitter
 DIM_LENS = 2          # 2D: lens
 DIM_TIME = 4          # 1D: shutter time
 DIM_BOUNCE0 = 5       # first per-bounce block
-DIMS_PER_BOUNCE = 8   # [bsdf u2, bsdf lobe u1, light sel u1, light u2, rr u1, phase/extra u1]
+DIMS_PER_BOUNCE = 8   # slots: 0-1 bsdf u2, 2 lobe u1, 3-4 light u2,
+#                              5 light-select u1, 6 rr u1, 7 phase/medium u1
 
 
 def bounce_dim(bounce, slot):

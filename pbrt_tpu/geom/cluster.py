@@ -86,6 +86,7 @@ class ClusterSet(NamedTuple):
     c_tri_id: jnp.ndarray  # (C, K) int32 original triangle id (pad 0)
     c_bmin: jnp.ndarray    # (C, 3)
     c_bmax: jnp.ndarray    # (C, 3)
+    cov_mxu: jnp.ndarray   # (6, 6·CPAD) slab-plane features, CPAD %128
     world_min: jnp.ndarray
     world_max: jnp.ndarray
 
@@ -155,12 +156,23 @@ def build_clusters(positions, indices, prim_order=None, k=128):
     tri_id = order.reshape(c, k)
     bmin = np.minimum(np.minimum(p0f.min(1), p1f.min(1)), p2f.min(1))
     bmax = np.maximum(np.maximum(p0f.max(1), p1f.max(1)), p2f.max(1))
+    # slab-plane feature table for the MXU coverage pass
+    # (kernels/cluster_pallas.coverage_tiles): plane p = 2·ax+{lo,hi}
+    # evaluates t = b_ax·inv_ax + 1·(−o_ax·inv_ax).
+    cpad = -(-c // 128) * 128
+    cov = np.zeros((6, 6, cpad), np.float32)
+    for ax in range(3):
+        cov[ax, 2 * ax, :c] = bmin[:, ax]
+        cov[ax, 2 * ax + 1, :c] = bmax[:, ax]
+        cov[3 + ax, 2 * ax, :c] = 1.0
+        cov[3 + ax, 2 * ax + 1, :c] = 1.0
     return ClusterSet(
         packed=jnp.asarray(packed),
         packed_mxu=jnp.asarray(packed_mxu),
         c_p0=jnp.asarray(p0f), c_p1=jnp.asarray(p1f), c_p2=jnp.asarray(p2f),
         c_tri_id=jnp.asarray(tri_id),
         c_bmin=jnp.asarray(bmin), c_bmax=jnp.asarray(bmax),
+        cov_mxu=jnp.asarray(cov.reshape(6, 6 * cpad)),
         world_min=jnp.asarray(bmin.min(0)), world_max=jnp.asarray(bmax.max(0)))
 
 
@@ -202,7 +214,12 @@ def _coherence_key(cs, o, d):
 
 def _prepare(cs, o, d, t_min, t_max):
     """Flatten, sort by coherence, pad to a tile multiple. Returns ray
-    component planes (NT, TILE) plus bookkeeping."""
+    component planes (NT, TILE) plus bookkeeping.
+
+    The permutation is applied with ONE (N, 8) row gather of the packed
+    (o, d, tmin, tmax) record — TPU gather cost is per-row, nearly
+    independent of row width, so one 32-byte-row gather beats four
+    narrow ones ~4×."""
     shp = o.shape[:-1]
     n = int(np.prod(shp)) if shp else 1
     o = o.reshape(n, 3)
@@ -210,24 +227,33 @@ def _prepare(cs, o, d, t_min, t_max):
     t_min = jnp.broadcast_to(t_min, shp).reshape(n)
     t_max = jnp.broadcast_to(t_max, shp).reshape(n)
     key = _coherence_key(cs, o, d)
+    # dead lanes (t_max <= t_min) sort to the very end: they concentrate
+    # into tiles with zero cluster coverage, which the traversal kernels
+    # skip outright (count = 0 ⇒ 0 rounds) — free wavefront compaction.
+    key = jnp.where(t_max > t_min, key, jnp.uint32(0xFFFFFFFF))
     order = jnp.argsort(key)
     pad = (-n) % TILE
     order_p = jnp.concatenate([order, jnp.zeros(pad, order.dtype)]) if pad else order
-    os = o[order_p]
-    ds = d[order_p]
-    tmins = t_min[order_p]
-    tmaxs = jnp.concatenate([t_max[order], jnp.full((pad,), -1.0, Float)]) if pad \
-        else t_max[order]   # padded lanes: t_max < t_min ⇒ inert
-    nt = (n + pad) // TILE
-    m = jnp.cross(os, ds)   # ray moment (Plücker)
+    rec = jnp.concatenate([o, d, t_min[:, None], t_max[:, None]], axis=1)
+    rec_s = rec[order_p]                       # (n+pad, 8) — THE gather
+    npad = n + pad
+    nt = npad // TILE
+    tmaxs = rec_s[:, 7]
+    if pad:
+        # padded lanes: t_max < t_min ⇒ inert
+        tmaxs = jnp.where(jnp.arange(npad) < n, tmaxs, -1.0)
+    os = rec_s[:, 0:3]
+    ds = rec_s[:, 3:6]
+    m = jnp.cross(os, ds)   # ray moment (Plücker; jnp tracer only — DCE'd
+    #                         on the pallas path, which assembles m in-kernel)
     comp = dict(
-        ox=os[:, 0].reshape(nt, TILE), oy=os[:, 1].reshape(nt, TILE),
-        oz=os[:, 2].reshape(nt, TILE),
-        dx=ds[:, 0].reshape(nt, TILE), dy=ds[:, 1].reshape(nt, TILE),
-        dz=ds[:, 2].reshape(nt, TILE),
+        ox=rec_s[:, 0].reshape(nt, TILE), oy=rec_s[:, 1].reshape(nt, TILE),
+        oz=rec_s[:, 2].reshape(nt, TILE),
+        dx=rec_s[:, 3].reshape(nt, TILE), dy=rec_s[:, 4].reshape(nt, TILE),
+        dz=rec_s[:, 5].reshape(nt, TILE),
         mx=m[:, 0].reshape(nt, TILE), my=m[:, 1].reshape(nt, TILE),
         mz=m[:, 2].reshape(nt, TILE),
-        tmin=tmins.reshape(nt, TILE), tmax=tmaxs.reshape(nt, TILE))
+        tmin=rec_s[:, 6].reshape(nt, TILE), tmax=tmaxs.reshape(nt, TILE))
     return shp, n, order, comp, os.reshape(nt, TILE, 3), ds.reshape(nt, TILE, 3), nt
 
 
@@ -408,62 +434,61 @@ def occluded(cs: ClusterSet, tri, o, d, t_min, t_max):
     return occ.reshape(-1)[inv].reshape(shp)
 
 
-def _pallas_inputs(cs, comp, os_, ds_):
-    """Coverage pass + the L-row ray layout of the MXU kernel
-    (kernels/cluster_pallas.py: L = [d m 0 0 o 1 tmin tmax 0 0])."""
+def _pallas_inputs(cs, comp, os_, ds_, interpret=False):
+    """Sorted ray component planes for the MXU kernels — eight separate
+    (nt, 1, TILE) arrays (pure reshapes, no stack/relayout; the kernels
+    assemble the L feature matrix incl. the Plücker moment in-register)
+    + the pallas coverage pass + the per-tile entry-t cluster order."""
     from ..kernels import cluster_pallas as kp
     c = cs.n_clusters
-    cov, tnear = _tile_cluster_pass(cs, os_, ds_, comp["tmin"], comp["tmax"])
-    corder, tnear_sorted = _sorted_cluster_order(cov, tnear)
-    counts = jnp.sum(cov, axis=1).astype(Int)
-    pad_c = (-c) % kp.CH
-    corder_p = jnp.pad(corder, ((0, 0), (0, pad_c)))
-    tnear_p = jnp.pad(tnear_sorted, ((0, 0), (0, pad_c)), constant_values=INF)
-    z = jnp.zeros_like(comp["ox"])
-    one = jnp.ones_like(comp["ox"])
-    # tmin/tmax ride in matmul columns (their feature rows are zero) —
-    # they MUST be finite: 0·inf = NaN would poison the whole W row.
-    big = Float(3e37)
-    tmin_c = jnp.clip(comp["tmin"], -big, big)
-    tmax_c = jnp.clip(comp["tmax"], -big, big)
-    rays = jnp.stack([
-        comp["dx"], comp["dy"], comp["dz"],
-        comp["mx"], comp["my"], comp["mz"], z, z,
-        comp["ox"], comp["oy"], comp["oz"], one,
-        tmin_c, tmax_c, z, z], axis=2)                # (nt, TILE, 16)
-    return rays, corder_p, tnear_p, counts
+    planes = tuple(comp[f][:, None, :] for f in
+                   ("ox", "oy", "oz", "dx", "dy", "dz", "tmin", "tmax"))
+    tnear = kp.coverage_tiles(planes, cs.cov_mxu, c, interpret=interpret)
+    counts = jnp.sum((tnear < INF).astype(Int), axis=1)
+    corder = jnp.argsort(tnear, axis=1).astype(Int)
+    tnear_sorted = jnp.take_along_axis(tnear, corder, axis=1)
+    # clamp: positions past `counts` may name pad columns (≥ C); the
+    # kernel's last partial round still DMAs them, so point them at a
+    # real cluster (redundant exact tests are harmless).
+    corder = jnp.minimum(corder, c - 1)
+    return planes, corder, tnear_sorted, counts
 
 
 def intersect_pallas(cs: ClusterSet, tri, o, d, t_min, t_max, interpret=False):
     """Closest-hit via the pallas per-tile MXU kernel
     (kernels/cluster_pallas.py). Requires a ClusterSet built with
-    k=128. Same return contract as `intersect`."""
+    k=128. Same return contract as `intersect`.
+
+    The kernel extracts the winner's exact plane t and Plücker-volume
+    barycentrics in-register (one-hot over the round), so no
+    Möller–Trumbore finalize pass (and none of its random vertex
+    gathers) is needed — only the slot→triangle-id lookup and one
+    packed unsort gather remain on the XLA side."""
     from ..kernels import cluster_pallas as kp
     shp, n, order, comp, os_, ds_, nt = _prepare(cs, o, d, t_min, t_max)
     k = cs.cluster_size
-    rays, corder_p, tnear_p, counts = _pallas_inputs(cs, comp, os_, ds_)
+    planes, corder_p, tnear_p, counts = _pallas_inputs(cs, comp, os_, ds_,
+                                                       interpret=interpret)
 
-    t_best, slot = kp.traverse_tiles(cs.packed_mxu, rays, corder_p, tnear_p,
-                                     counts, interpret=interpret)
+    t_best, slot, bary = kp.traverse_tiles(cs.packed_mxu, planes, corder_p,
+                                           tnear_p, counts, interpret=interpret)
     hit = slot >= 0
     slot_c = jnp.maximum(slot, 0)
     cl = jnp.take_along_axis(corder_p, slot_c // k, axis=1)
     tid = cs.c_tri_id[cl, slot_c % k]
 
+    # one packed unsort gather: [t, b1, b2, tid, hit] per sorted lane
+    packed = jnp.stack([
+        t_best.reshape(-1), bary[:, 0, :].reshape(-1),
+        bary[:, 1, :].reshape(-1), tid.reshape(-1).astype(Float),
+        hit.reshape(-1).astype(Float)], axis=-1)
     inv = jnp.argsort(order)
-
-    def un(a):
-        return a.reshape(-1)[inv].reshape(shp)
-
-    hit_flat = un(hit).reshape(-1)
-    idx_flat = un(tid).reshape(-1)
-    o_flat = o.reshape(-1, 3)
-    d_flat = d.reshape(-1, 3)
-    tmin_flat = jnp.broadcast_to(t_min, shp).reshape(-1)
-    ok, t_fin, b1, b2 = _finalize_hits(cs, tri, o_flat, d_flat, tmin_flat,
-                                       hit_flat, idx_flat)
-    return (ok.reshape(shp), t_fin.reshape(shp), idx_flat.reshape(shp),
-            b1.reshape(shp), b2.reshape(shp))
+    out = packed[inv]
+    ok = out[:, 4] > 0.5
+    t_fin = jnp.where(ok, out[:, 0], INF)
+    return (ok.reshape(shp), t_fin.reshape(shp),
+            out[:, 3].astype(Int).reshape(shp),
+            out[:, 1].reshape(shp), out[:, 2].reshape(shp))
 
 
 def occluded_pallas(cs: ClusterSet, tri, o, d, t_min, t_max, interpret=False):
@@ -471,8 +496,9 @@ def occluded_pallas(cs: ClusterSet, tri, o, d, t_min, t_max, interpret=False):
     as `occluded`."""
     from ..kernels import cluster_pallas as kp
     shp, n, order, comp, os_, ds_, nt = _prepare(cs, o, d, t_min, t_max)
-    rays, corder_p, tnear_p, counts = _pallas_inputs(cs, comp, os_, ds_)
-    occ = kp.occluded_tiles(cs.packed_mxu, rays, corder_p, tnear_p, counts,
+    planes, corder_p, tnear_p, counts = _pallas_inputs(cs, comp, os_, ds_,
+                                                       interpret=interpret)
+    occ = kp.occluded_tiles(cs.packed_mxu, planes, corder_p, tnear_p, counts,
                             interpret=interpret)
     inv = jnp.argsort(order)
     return occ.reshape(-1)[inv].reshape(shp)

@@ -42,6 +42,8 @@ def make_scene(tri=None, quad=None, materials=None, lights=None, media=None, bvh
                textures=None, clusters=None, light_distrib=None):
     import numpy as np
     tri = tri if tri is not None else empty_triangles()
+    if tri.indices.shape[0] and tri.shade_rec is None:
+        tri = tri.with_shade_rec()
     quad = quad if quad is not None else empty_quadrics()
     # world bounds from geometry (host-side, static)
     pts = []
@@ -76,11 +78,18 @@ def _empty_hit(o, d):
                prim_id=jnp.full(n, -1, Int))
 
 
-def intersect(scene: Scene, o, d, t_min=None, t_max=None) -> Hit:
-    """Closest-hit query for a wavefront of rays o/d (N, 3)."""
+def intersect(scene: Scene, o, d, t_min=None, t_max=None, active=None) -> Hit:
+    """Closest-hit query for a wavefront of rays o/d (N, 3).
+
+    `active` (optional bool mask) marks live lanes: dead lanes get
+    t_max < t_min, sort to the end of the coherence order, land in
+    zero-coverage tiles, and cost the traversal kernels nothing — free
+    wavefront compaction with no gather/scatter reshuffle."""
     n = o.shape[:-1]
     t_min = jnp.broadcast_to(jnp.asarray(RAY_EPS if t_min is None else t_min, Float), n)
     t_max = jnp.broadcast_to(jnp.asarray(INF if t_max is None else t_max, Float), n)
+    if active is not None:
+        t_max = jnp.where(active, t_max, -1.0)
 
     hit = _empty_hit(o, d)
     best_t = t_max
@@ -99,7 +108,14 @@ def intersect(scene: Scene, o, d, t_min=None, t_max=None) -> Hit:
                 scene.bvh, scene.tri, o, d, t_min, best_t)
         else:
             t_hit, t_t, t_idx, b1, b2 = trimod.intersect_brute(scene.tri, o, d, t_min, best_t)
-        p, ng, ns, uv, dpdu = trimod.shading_geometry(scene.tri, o, d, t_idx, t_t, b1, b2)
+        if scene.tri.shade_rec is not None:
+            p, ng, ns, uv, dpdu, mat_id, light_id = trimod.shading_from_rec(
+                scene.tri, t_idx, b1, b2)
+        else:
+            p, ng, ns, uv, dpdu = trimod.shading_geometry(
+                scene.tri, o, d, t_idx, t_t, b1, b2)
+            mat_id = scene.tri.material_id[t_idx]
+            light_id = scene.tri.light_id[t_idx]
         take = t_hit & (t_t < best_t)
         hit = Hit(valid=hit.valid | take,
                   t=jnp.where(take, t_t, hit.t),
@@ -109,8 +125,8 @@ def intersect(scene: Scene, o, d, t_min=None, t_max=None) -> Hit:
                   uv=jnp.where(take[..., None], uv, hit.uv),
                   dpdu=jnp.where(take[..., None], dpdu, hit.dpdu),
                   wo=hit.wo,
-                  material_id=jnp.where(take, scene.tri.material_id[t_idx], hit.material_id),
-                  light_id=jnp.where(take, scene.tri.light_id[t_idx], hit.light_id),
+                  material_id=jnp.where(take, mat_id, hit.material_id),
+                  light_id=jnp.where(take, light_id, hit.light_id),
                   prim_kind=jnp.where(take, 0, hit.prim_kind),
                   prim_id=jnp.where(take, t_idx, hit.prim_id))
         best_t = jnp.where(take, t_t, best_t)
@@ -135,11 +151,14 @@ def intersect(scene: Scene, o, d, t_min=None, t_max=None) -> Hit:
     return hit
 
 
-def occluded(scene: Scene, o, d, t_min=None, t_max=None):
-    """Any-hit (shadow) query (scene.rs:57 intersect_p)."""
+def occluded(scene: Scene, o, d, t_min=None, t_max=None, active=None):
+    """Any-hit (shadow) query (scene.rs:57 intersect_p). `active` marks
+    live lanes (see `intersect`)."""
     n = o.shape[:-1]
     t_min = jnp.broadcast_to(jnp.asarray(RAY_EPS if t_min is None else t_min, Float), n)
     t_max = jnp.broadcast_to(jnp.asarray(INF if t_max is None else t_max, Float), n)
+    if active is not None:
+        t_max = jnp.where(active, t_max, -1.0)
     occ = jnp.zeros(n, bool)
     if scene.tri.count:
         if scene.clusters is not None:

@@ -11,7 +11,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.types import Float, INF
+from ..core.types import Float, Int, INF
 from ..core import vecmath as vm
 
 
@@ -122,6 +122,39 @@ def occluded_brute(tri, o, d, t_min, t_max):
     if n_chunks == 1:
         return body(0, init)
     return jax.lax.fori_loop(0, n_chunks, body, init)
+
+
+def shading_from_rec(tri, tri_idx, b1, b2):
+    """Hit shading data via ONE packed-record gather (geom/types.py
+    shade_rec layout) — the TPU-efficient form of shading_geometry.
+    Returns (p, ng, ns, uv, dpdu, material_id, light_id)."""
+    r = tri.shade_rec[tri_idx]                      # (N, 28) — THE gather
+    p0, p1, p2 = r[..., 0:3], r[..., 3:6], r[..., 6:9]
+    uv0, uv1, uv2 = r[..., 9:11], r[..., 11:13], r[..., 13:15]
+    n0, n1, n2 = r[..., 15:18], r[..., 18:21], r[..., 21:24]
+    b0 = 1.0 - b1 - b2
+    p = b0[..., None] * p0 + b1[..., None] * p1 + b2[..., None] * p2
+    ng = vm.normalize(vm.cross(p1 - p0, p2 - p0))
+    uv = b0[..., None] * uv0 + b1[..., None] * uv1 + b2[..., None] * uv2
+
+    duv02 = uv0 - uv2
+    duv12 = uv1 - uv2
+    dp02 = p0 - p2
+    dp12 = p1 - p2
+    det = duv02[..., 0] * duv12[..., 1] - duv02[..., 1] * duv12[..., 0]
+    inv_det = jnp.where(jnp.abs(det) > 1e-10, 1.0 / jnp.where(det != 0.0, det, 1.0), 0.0)
+    dpdu = (duv12[..., 1:2] * dp02 - duv02[..., 1:2] * dp12) * inv_det[..., None]
+    degenerate = jnp.abs(det) <= 1e-10
+    fallback, _ = vm.coordinate_system(ng)
+    dpdu = jnp.where(degenerate[..., None], fallback, vm.normalize(dpdu))
+
+    ns_interp = b0[..., None] * n0 + b1[..., None] * n1 + b2[..., None] * n2
+    has_ns = (r[..., 24] > 0.5) & (vm.length_squared(ns_interp) > 1e-12)
+    ns = jnp.where(has_ns[..., None], vm.normalize(ns_interp), ng)
+    ng = vm.face_forward(ng, ns)
+    dpdu = vm.normalize(dpdu - vm.dot(dpdu, ns)[..., None] * ns)
+    return (p, ng, ns, uv, dpdu,
+            r[..., 25].astype(Int), r[..., 26].astype(Int))
 
 
 def shading_geometry(tri, o, d, tri_idx, t, b1, b2):

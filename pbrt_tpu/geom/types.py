@@ -34,6 +34,12 @@ class TriangleSoA(NamedTuple):
     has_normals: jnp.ndarray  # (T,) bool
     material_id: jnp.ndarray  # (T,) int32
     light_id: jnp.ndarray     # (T,) int32, -1 = not emissive
+    # packed per-triangle shading record, built by make_scene: TPU
+    # gather cost is per-row (nearly independent of width), so hit
+    # shading does ONE (N, 28) record gather instead of ~13 narrow ones.
+    # layout: 0:9 p0 p1 p2 | 9:15 uv0 uv1 uv2 | 15:24 n0 n1 n2 |
+    #         24 has_ns | 25 material_id | 26 light_id | 27 pad
+    shade_rec: Optional[jnp.ndarray] = None   # (T, 28) or None
 
     @property
     def count(self):
@@ -42,6 +48,31 @@ class TriangleSoA(NamedTuple):
     def corners(self):
         i = self.indices
         return self.positions[i[:, 0]], self.positions[i[:, 1]], self.positions[i[:, 2]]
+
+    def with_shade_rec(self):
+        """Attach the packed shading record (host-side numpy)."""
+        import numpy as np
+        if self.shade_rec is not None or not self.indices.shape[0]:
+            return self
+        pos = np.asarray(self.positions, np.float32)
+        idx = np.asarray(self.indices)
+        nrm = np.asarray(self.normals, np.float32)
+        uvs = np.asarray(self.uvs, np.float32)
+        t = idx.shape[0]
+        rec = np.zeros((t, 28), np.float32)
+        rec[:, 0:3] = pos[idx[:, 0]]
+        rec[:, 3:6] = pos[idx[:, 1]]
+        rec[:, 6:9] = pos[idx[:, 2]]
+        rec[:, 9:11] = uvs[idx[:, 0]]
+        rec[:, 11:13] = uvs[idx[:, 1]]
+        rec[:, 13:15] = uvs[idx[:, 2]]
+        rec[:, 15:18] = nrm[idx[:, 0]]
+        rec[:, 18:21] = nrm[idx[:, 1]]
+        rec[:, 21:24] = nrm[idx[:, 2]]
+        rec[:, 24] = np.asarray(self.has_normals).astype(np.float32)
+        rec[:, 25] = np.asarray(self.material_id).astype(np.float32)
+        rec[:, 26] = np.asarray(self.light_id).astype(np.float32)
+        return self._replace(shade_rec=jnp.asarray(rec))
 
 
 class QuadricSoA(NamedTuple):

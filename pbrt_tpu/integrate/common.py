@@ -91,6 +91,33 @@ def select_light(scene, strategy, p, u, world_radius=None):
     return select_light_uniform(lights, u)
 
 
+def select_light_pmf(scene, strategy, p, light_id):
+    """pmf the selection strategy assigns to `light_id` at shading point
+    `p` — the selection half of the NEE density, needed to MIS-weight
+    emission found by BSDF-sampled rays (integrator.rs:216-262 analog
+    under sample reuse)."""
+    lights = scene.lights
+    nl = max(int(lights.count), 1)
+    lid = jnp.maximum(light_id, 0)
+    if strategy == "power":
+        from ..lights.distrib import power_distribution
+        dist = power_distribution(lights, scene.world_radius)
+        return dist.func[lid] / jnp.maximum(dist.func_int * nl, 1e-20)
+    if strategy == "spatial" and scene.light_distrib is not None:
+        from ..core.types import clamp
+        sd = scene.light_distrib
+        nz, ny, nx = sd.resolution
+        q = clamp((p - sd.world_min) / sd.world_ext, 0.0, 0.9999)
+        xi = (q[..., 0] * nx).astype(Int)
+        yi = (q[..., 1] * ny).astype(Int)
+        zi = (q[..., 2] * nz).astype(Int)
+        vi = (zi * ny + yi) * nx + xi
+        func = sd.grid_func[vi]
+        return jnp.take_along_axis(func, lid[..., None], axis=-1)[..., 0] \
+            / jnp.maximum(jnp.sum(func, axis=-1), 1e-20)
+    return jnp.full(jnp.shape(light_id), 1.0 / nl, Float)
+
+
 def nee_light_part(scene, lights, lp, kinds_present, frame, p, ns, ng, wo,
                    lt, u_light, active):
     """Light-sampling half of estimate_direct (integrator.rs:155-195).
@@ -104,7 +131,8 @@ def nee_light_part(scene, lights, lp, kinds_present, frame, p, ns, ng, wo,
     usable = active & (ls["pdf"] > 0.0) & (luminance(ls["li"]) > 0.0) & (luminance(f) > 0.0)
     o_sh = vm.offset_ray_origin(p, ng, wi)
     t_max = ls["dist"] * (1.0 - 1e-3)
-    occ = scenemod.occluded(scene, o_sh, wi, t_max=jnp.maximum(t_max, SHADOW_EPS))
+    occ = scenemod.occluded(scene, o_sh, wi, t_max=jnp.maximum(t_max, SHADOW_EPS),
+                            active=usable)
     vis = usable & ~occ
     w_l = jnp.where(ls["is_delta"], 1.0, power_heuristic(1.0, ls["pdf"], 1.0, scat_pdf))
     contrib = f * ls["li"] * (w_l / jnp.maximum(ls["pdf"], 1e-12))[..., None]

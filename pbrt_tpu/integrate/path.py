@@ -4,16 +4,28 @@ TPU-native counterpart of src/integrators/path.rs:65-213. The reference's
 recursive `li` with trait dispatch becomes a statically-unrolled bounce
 loop over masked SoA lanes:
 
+    hit = closest_hit(primary)
     for bounce < max_depth:
-        (hit carried from the previous fused trace)
-        emitted/escaped (specular-or-first only)
-        → NEE light sample (shadow any-hit query)
-        → MIS-BSDF ray + extension ray fused into ONE 2N-lane
-          closest-hit traversal (halves tracer invocations — the
-          dominant fixed cost on TPU)
-        → throughput update → Russian roulette (after bounce 3)
+        emission pickup at `hit` with MIS vs the NEE strategy
+        NEE light sample at `hit` (shadow any-hit query)
+        ONE BSDF sample -> extension ray -> closest_hit
+        throughput update -> Russian roulette (after bounce 3)
+    final emission pickup (completes the last vertex's BSDF-MIS half)
 
-Lane liveness is a mask; dead lanes ride along. Every random number is
+This is the sample-reuse estimator (wavefront practice; same MIS family
+as estimate_direct's two halves, integrator.rs:136-266): the single BSDF
+sample serves BOTH as the MIS counterpart of the light sample AND as the
+path continuation, so each bounce costs exactly one closest-hit and one
+any-hit traversal instead of the reference's two independent BSDF draws
+(integrator.rs:196-262 + path.rs:127). Emission found by the extension
+ray is weighted by power_heuristic(pdf_bsdf, pdf_nee(that light)), where
+pdf_nee includes the light-selection pmf — so the combined estimator
+covers the same path family with the same expectation and fewer rays.
+
+Lane liveness is a mask AND a work filter: dead lanes carry t_max < 0
+into the traversal, sort to the end of the ray buffer, and collapse into
+zero-coverage tiles the pallas kernel skips entirely (free compaction —
+no gather/scatter reshuffle needed). Every random number is
 counter-indexed by (pixel, sample, dim), so path replay (gradients, MLT
 PSS providers) is exact.
 """
@@ -25,6 +37,7 @@ import jax.numpy as jnp
 from ..core.types import Float
 from ..core import samplers as smp
 from ..core import vecmath as vm
+from ..core.sampling import power_heuristic
 from ..core.spectrum import luminance
 from ..geom import scene as scenemod
 from ..lights import lights as lightsmod
@@ -44,10 +57,31 @@ def default_provider(cfg, pixel_id, sample_idx):
     return sample1, sample2
 
 
-def _split_hit(hit, n):
-    a = jax.tree_util.tree_map(lambda x: x[:n], hit)
-    b = jax.tree_util.tree_map(lambda x: x[n:], hit)
-    return a, b
+def _emission_pickup(scene, lights, cfg, hit, d, prev_p, prev_pdf, prev_spec,
+                     counts):
+    """L contribution of the emitter hit (or env escaped to) by a ray,
+    MIS-weighted against the NEE strategy that could have sampled the
+    same emitter (path.rs:80-92 + integrator.rs:216-262 folded into the
+    extension ray)."""
+    le_hit = lightsmod.area_light_radiance(lights, hit.light_id, hit.ng, -d)
+    le_env = lightsmod.env_radiance(lights, d)
+    le = jnp.where(hit.valid[..., None], le_hit, le_env)
+
+    # pdf of NEE producing this direction: selection pmf x solid-angle pdf
+    got_area = hit.valid & (hit.light_id >= 0)
+    pdf_area = lightsmod.pdf_li_area_scene(lights, scene, hit.light_id,
+                                           prev_p, hit.p, hit.ng)
+    sel_area = common.select_light_pmf(scene, cfg.light_strategy, prev_p,
+                                       hit.light_id)
+    pdf_nee = jnp.where(got_area, pdf_area * sel_area, 0.0)
+    if lights.env_index >= 0:
+        env_sel = common.select_light_pmf(
+            scene, cfg.light_strategy, prev_p,
+            jnp.full(hit.valid.shape, lights.env_index, jnp.int32))
+        pdf_env = lightsmod.env_pdf_li(lights, d) * env_sel
+        pdf_nee = jnp.where(~hit.valid, pdf_env, pdf_nee)
+    w = jnp.where(prev_spec, 1.0, power_heuristic(1.0, prev_pdf, 1.0, pdf_nee))
+    return jnp.where(counts[..., None], le * w[..., None], 0.0)
 
 
 def li(scene, o, d, pixel_id, sample_idx, cfg, rr_start=3, return_stats=False,
@@ -58,7 +92,6 @@ def li(scene, o, d, pixel_id, sample_idx, cfg, rr_start=3, return_stats=False,
     sample1, sample2 = provider if provider is not None else \
         default_provider(cfg, pixel_id, sample_idx)
 
-    # flatten lanes so fused 2N traces concatenate on axis 0
     n = int(jnp.size(pixel_id))
     o = o.reshape(n, 3)
     d = d.reshape(n, 3)
@@ -67,23 +100,23 @@ def li(scene, o, d, pixel_id, sample_idx, cfg, rr_start=3, return_stats=False,
     L = jnp.zeros((n, 3), Float)
     beta = jnp.ones((n, 3), Float)
     active = jnp.ones((n,), bool)
-    specular_bounce = jnp.zeros((n,), bool)
+    prev_spec = jnp.ones((n,), bool)       # bounce-0 emission counts fully
+    prev_pdf = jnp.zeros((n,), Float)
+    prev_p = o
     eta_scale = jnp.ones((n,), Float)
     rays_traced = jnp.zeros((), Float)
+    occupancy = []
 
     hit = scenemod.intersect(scene, o, d)
     rays_traced = rays_traced + n
 
     for bounce in range(cfg.max_depth):
         wo = -d
+        occupancy.append(jnp.sum(active.astype(Float)) / n)
 
-        # Emitted radiance: first bounce or after a specular bounce
-        # (others covered by NEE; path.rs:80-92).
-        count_emit = active & ((bounce == 0) | specular_bounce)
-        le_hit = lightsmod.area_light_radiance(lights, hit.light_id, hit.ng, wo)
-        le_env = lightsmod.env_radiance(lights, d)
-        le = jnp.where(hit.valid[..., None], le_hit, le_env)
-        L = L + jnp.where(count_emit[..., None], beta * le, 0.0)
+        # Emission at this vertex, MIS vs NEE at the PREVIOUS vertex
+        L = L + beta * _emission_pickup(scene, lights, cfg, hit, d, prev_p,
+                                        prev_pdf, prev_spec, active)
 
         active = active & hit.valid & (hit.material_id >= 0)
 
@@ -99,36 +132,16 @@ def li(scene, o, d, pixel_id, sample_idx, cfg, rr_start=3, return_stats=False,
             scene, lights, lp, kinds, frame, hit.p, hit.ns, hit.ng, wo,
             lt, u_light, active)
         rays_traced = rays_traced + jnp.sum(active.astype(Float))
+        L = L + jnp.where(active[..., None],
+                          beta * ld_light / jnp.maximum(pmf, 1e-12)[..., None],
+                          0.0)
 
-        # --- MIS-BSDF ray + extension ray, fused closest-hit
-        u_nb = flat(sample2(bounce, 6))
-        u_nl = flat(sample1(bounce, 2))
-        o_b, wi_b, f_b, pdf_b, spec_b = common.nee_bsdf_ray(
-            lp, kinds, frame, hit.p, hit.ns, hit.ng, wo, u_nl, u_nb)
-
+        # --- ONE BSDF sample: MIS counterpart AND path continuation
         u_bsdf = flat(sample2(bounce, 0))
         u_lobe = flat(sample1(bounce, 2))
         wo_l = frame.to_local(wo)
         wi_l, f, pdf, spec, trans = matmod.sample(lp, kinds, wo_l, u_lobe, u_bsdf)
         wi = frame.to_world(wi_l)
-        o_ext = vm.offset_ray_origin(hit.p, hit.ng, wi)
-
-        last = bounce == cfg.max_depth - 1
-        if last:
-            hit_b = scenemod.intersect(scene, o_b, wi_b)
-            hit_next = None
-        else:
-            hit_cat = scenemod.intersect(scene,
-                                         jnp.concatenate([o_b, o_ext], axis=0),
-                                         jnp.concatenate([wi_b, wi], axis=0))
-            hit_b, hit_next = _split_hit(hit_cat, n)
-        rays_traced = rays_traced + (1.0 + (0.0 if last else 1.0)) \
-            * jnp.sum(active.astype(Float))
-
-        ld_bsdf = common.nee_bsdf_part(scene, lights, ls, lt, hit.p,
-                                       wi_b, f_b, pdf_b, spec_b, hit_b, active)
-        ld = (ld_light + ld_bsdf) / jnp.maximum(pmf, 1e-12)[..., None]
-        L = L + jnp.where(active[..., None], beta * ld, 0.0)
 
         # --- throughput update (path.rs:127-152)
         good = active & (pdf > 0.0) & (luminance(f) > 0.0)
@@ -136,7 +149,6 @@ def li(scene, o, d, pixel_id, sample_idx, cfg, rr_start=3, return_stats=False,
                          beta * f * (vm.absdot(wi, hit.ns) / jnp.maximum(pdf, 1e-12))[..., None],
                          beta)
         active = good
-        specular_bounce = spec
         eta_scale = jnp.where(trans, eta_scale * matmod.eta_scale_on_transmit(lp, wo_l[..., 2]),
                               eta_scale)
 
@@ -144,19 +156,30 @@ def li(scene, o, d, pixel_id, sample_idx, cfg, rr_start=3, return_stats=False,
         if bounce >= rr_start:
             rr_beta = vm.max_component(beta * eta_scale[..., None])
             q = jnp.maximum(0.05, 1.0 - rr_beta)
-            u_rr = flat(sample1(bounce, 4))
+            u_rr = flat(sample1(bounce, 6))
             survive = u_rr >= q
             beta = jnp.where((active & survive)[..., None],
                              beta / jnp.maximum(1.0 - q, 1e-6)[..., None], beta)
             active = active & survive
 
-        o = o_ext
+        # --- extension ray = the same BSDF sample, traced closest-hit
+        prev_p = hit.p
+        prev_pdf = pdf
+        prev_spec = spec
+        o = vm.offset_ray_origin(hit.p, hit.ng, wi)
         d = wi
-        hit = hit_next
+        hit = scenemod.intersect(scene, o, d, active=active)
+        rays_traced = rays_traced + jnp.sum(active.astype(Float))
+
+    # Final emission pickup: completes the BSDF-MIS half of the last
+    # vertex's direct lighting (integrator.rs:216-262 analog).
+    L = L + beta * _emission_pickup(scene, lights, cfg, hit, d, prev_p,
+                                    prev_pdf, prev_spec, active)
 
     L = L.reshape(shp + (3,))
     if return_stats:
-        return L, {"rays_traced": rays_traced}
+        return L, {"rays_traced": rays_traced,
+                   "occupancy": jnp.stack(occupancy)}
     return L
 
 

@@ -1,6 +1,6 @@
 """Pallas TPU kernels for tile×cluster ray traversal.
 
-Three design decisions carry all the performance here:
+Four design decisions carry all the performance here:
 
 1. **Per-tile trip counts.** The jnp tracer (geom/cluster.py) runs all
    tiles in lock-step: every round sweeps (tiles × TILE × CH·K) lanes
@@ -12,31 +12,45 @@ Three design decisions carry all the performance here:
    cluster's entry t exceeds every lane's best hit — the wavefront
    analog of near-child-first BVH descent (bvh.rs:840-874 semantics).
 
-2. **The intersection test is a matmul.** The scalarised Plücker test
+2. **Every hot test is a matmul.** The scalarised Plücker test
    (w_i = d·U_i + m·V_i, t = (k − n·o)/(n·d)) is linear in the ray, so
-   for a whole round of CH clusters it is ONE f32 matmul on the MXU
-   systolic array: L(TILE,16) @ F(16, 5·CH·K) with ray rows
-   L = [d m 0 0 o 1 tmin tmax 0 0]. tmin/tmax ride in L columns whose
-   feature rows are zero, so they don't perturb the product. Only the
-   sign tests, the division and the argmin reduction stay on the VPU.
+   for a whole round of CH clusters it is ONE f32-faithful matmul on the
+   MXU: L(16,TILE) vs F(16, 5·CH·K) contracted over the 16 feature rows,
+   with ray columns L = [d m 0 0 o 1 tmin tmax 0 0]ᵀ. The slab test of
+   the coverage pass is ALSO linear in (inv_d, −o·inv_d), so the whole
+   per-lane tile→cluster coverage is one K=6 matmul against a
+   precomputed (6, 6·CPAD) bounds-feature table. Only sign tests, one
+   division and the reductions stay on the VPU.
 
-3. **Block-major rounds.** The HBM layout is (C, 16, 5, K): one DMA
-   per cluster lands block-major in scratch (16, 5, CH, K), so after
-   the matmul each of the five Plücker planes [w0|w1|w2|nd|tnum] is a
-   single contiguous (TILE, CH·K) slice — the whole VPU tail runs once
-   per round on wide vectors instead of once per cluster on narrow
-   ones (~CH× fewer vector instructions).
+3. **Split-float contraction stacking.** f32-faithful MXU products come
+   from the bf16 hi/lo split; the three product terms stack along the
+   contraction axis ([Lhi|Llo|Lhi] vs [Fhi;Fhi;Flo]) into a SINGLE
+   matmul (the MXU pads K to its native 128 either way) — measured 3×
+   less MXU time than three separate passes, same results.
+
+4. **TILE-minor layout, zero relayout.** Every vector intermediate
+   keeps the ray lane as the minor (lane) axis: the sorted ray
+   components arrive as EIGHT separate (nt, 1, TILE) planes (pure
+   reshapes of the sort output — no stack, no relayout), the L feature
+   matrix (incl. the Plücker moment m = o×d) is assembled in-kernel
+   from (1, TILE) rows, matmul results are (planes, TILE), reductions
+   run across sublanes, and outputs leave as (nt, w, TILE). Nothing in
+   the pipeline materialises a minor-dim-16 array.
 
 Layout contract (produced by geom/cluster.py):
   packed_mxu (C, 16, 5, K) f32  MXU feature blocks; K=128 lanes
-  rays       (nt, TILE, 16) f32 L rows as above
+  planes     8×(nt, 1, TILE) f32 sorted ox oy oz dx dy dz tmin tmax
+  cov_mxu    (6, 6·CPAD) f32   slab-plane features (build_clusters)
   corder     (nt, CPAD) i32   per-tile cluster ids, ascending entry t
   tnear      (nt, CPAD) f32   matching entry t (INF past the coverage)
   counts     (nt,)      i32   covered clusters per tile
 outputs:
-  closest:  t_best (nt, TILE) f32 (t_max where missed),
+  coverage: tnear  (nt, CPAD) f32 entry t per (tile, cluster), INF if
+            the tile misses the cluster
+  closest:  t      (nt, TILE) f32 exact plane t (t_max where missed),
             slot   (nt, TILE) i32 global slot = cluster_rank·K + lane
-            (cluster_rank indexes corder), -1 where missed
+            (cluster_rank indexes corder), -1 where missed,
+            bary   (nt, 2, TILE) f32 (b1, b2) Plücker barycentrics
   any-hit:  occ    (nt, TILE) i32 0/1
 """
 from __future__ import annotations
@@ -56,24 +70,19 @@ CH = 8          # clusters fetched per round
 SLOT_MASK = 2047
 _EPS = 1e-12
 
-# MXU precision for the Plücker matmul. "highest" = 6 bf16 passes
+# MXU precision for the Plücker/slab matmuls. "highest" = 6 bf16 passes
 # (exact f32); "bf16x3" = 3-pass split-float (hi/lo bf16, dropping only
 # the lo·lo term ~2^-16 relative — f32-faithful products, validated
-# against brute force on real scenes, 2× faster than highest);
-# "bf16x3f" (default) = the SAME three products fused into ONE matmul
-# by stacking the splits along the contraction axis:
-#     [Lhi | Llo | Lhi] (TILE,48) @ [Fhi ; Fhi ; Flo] (48,N)
-#   = Lhi·Fhi + Llo·Fhi + Lhi·Flo  (= bf16x3 exactly)
-# The MXU pads K to its native 128 either way, so K=48 costs one pass —
-# measured ~3× less MXU time than three K=16 passes, bit-identical
-# accumulation order aside. Mosaic has no native Precision.HIGH, hence
-# the manual splits. "default" (1 bf16 pass) flips sign tests on
-# near-edge hits — only for experiments.
+# against brute force on real scenes); "bf16x3f" (default) = the SAME
+# three products fused into ONE matmul by stacking the splits along the
+# contraction axis (decision 3 above). "default" (1 bf16 pass) flips
+# sign tests on near-edge hits — only for experiments.
 PRECISION = os.environ.get("PBRT_TPU_MXU_PRECISION", "bf16x3f")
 
 
-def _dot_raw(L, F, precision):
-    return jax.lax.dot_general(L, F, (((1,), (0,)), ((), ())),
+def _dot_tn(A, B, precision):
+    """(ka, m) x (kb, n) contracted over dim 0 → (m, n)."""
+    return jax.lax.dot_general(A, B, (((0,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32,
                                precision=precision)
 
@@ -84,46 +93,35 @@ def _split_bf16(x):
     return hi, lo
 
 
-def _dot(L, F):
+def _dot(F, L):
+    """f32-faithful (K, m) x (K, n) → (m, n) per PRECISION."""
     if PRECISION == "highest":
-        return _dot_raw(L, F, jax.lax.Precision.HIGHEST)
+        return _dot_tn(F, L, jax.lax.Precision.HIGHEST)
     if PRECISION == "default":
-        return _dot_raw(L, F, jax.lax.Precision.DEFAULT)
-    lhi, llo = _split_bf16(L)
+        return _dot_tn(F, L, jax.lax.Precision.DEFAULT)
     fhi, flo = _split_bf16(F)
+    lhi, llo = _split_bf16(L)
     d = jax.lax.Precision.DEFAULT
     if PRECISION == "bf16x3":
-        return (_dot_raw(lhi, fhi, d) + _dot_raw(lhi, flo, d)
-                + _dot_raw(llo, fhi, d))
-    # bf16x3f: one K=48 pass (see module docstring above)
-    L3 = jnp.concatenate([lhi, llo, lhi], axis=1)
-    F3 = jnp.concatenate([fhi, fhi, flo], axis=0)
-    return _dot_raw(L3, F3, d)
+        return (_dot_tn(fhi, lhi, d) + _dot_tn(flo, lhi, d)
+                + _dot_tn(fhi, llo, d))
+    # bf16x3f: one 3K-contraction pass
+    F3 = jnp.concatenate([fhi, flo, fhi], axis=0)
+    L3 = jnp.concatenate([lhi, lhi, llo], axis=0)
+    return _dot_tn(F3, L3, d)
 
 
-def _round_planes(L, scratch_round, k):
-    """MXU pass for one round + the five contiguous plane slices.
-    scratch_round: (16, 5, CH·K) block-major features."""
+def _round_planes(L_T, scratch_round, k):
+    """MXU pass for one round. L_T (16, TILE); scratch_round
+    (16, 5, CH, K) block-major features → five (CHK, TILE) planes."""
     chk = scratch_round.shape[2] * scratch_round.shape[3]
-    W = _dot(L, scratch_round.reshape(16, 5 * chk))   # (TILE, 5·CHK)
-    w0 = W[:, 0 * chk:1 * chk]
-    w1 = W[:, 1 * chk:2 * chk]
-    w2 = W[:, 2 * chk:3 * chk]
-    nd = W[:, 3 * chk:4 * chk]
-    tnum = W[:, 4 * chk:5 * chk]
+    W = _dot(scratch_round.reshape(16, 5 * chk), L_T)   # (5·CHK, TILE)
+    w0 = W[0 * chk:1 * chk, :]
+    w1 = W[1 * chk:2 * chk, :]
+    w2 = W[2 * chk:3 * chk, :]
+    nd = W[3 * chk:4 * chk, :]
+    tnum = W[4 * chk:5 * chk, :]
     return w0, w1, w2, nd, tnum
-
-
-def _round_t(L, scratch_round, k, tmin, t_lim):
-    """Fused VPU tail: sign test, plane t, validity → t (TILE, CHK)
-    with misses at INF."""
-    w0, w1, w2, nd, tnum = _round_planes(L, scratch_round, k)
-    same = ((w0 >= 0) & (w1 >= 0) & (w2 >= 0)) | \
-           ((w0 <= 0) & (w1 <= 0) & (w2 <= 0))
-    ndok = jnp.abs(nd) > _EPS
-    t = tnum / jnp.where(ndok, nd, _EPS)
-    ok = same & ndok & (t > tmin) & (t < t_lim)
-    return jnp.where(ok, t, INF)
 
 
 def _start_round(corder_ref, packed_ref, scratch, sems, r, s):
@@ -143,26 +141,111 @@ def _wait_round(packed_ref, scratch, sems, s):
             sems.at[s, j]).wait()
 
 
+# ------------------------------------------------------------- coverage
+
+def _ray_rows(plane_refs):
+    """(o3, d3, tmin, tmax) rows from the eight (1, 1, TILE) blocks.
+    tmin/tmax are clamped finite: they ride in matmul columns whose
+    feature rows are zero, and 0·inf = NaN would poison the row."""
+    ox, oy, oz, dx, dy, dz, tmin, tmax = [r[0] for r in plane_refs]
+    big = 3e37
+    o3 = jnp.concatenate([ox, oy, oz], axis=0)
+    d3 = jnp.concatenate([dx, dy, dz], axis=0)
+    return o3, d3, jnp.clip(tmin, -big, big), jnp.clip(tmax, -big, big)
+
+
+def _assemble_L(plane_refs):
+    """The (16, TILE) Plücker L feature matrix, in-kernel."""
+    o3, d3, tmin, tmax = _ray_rows(plane_refs)
+    ox, oy, oz = o3[0:1], o3[1:2], o3[2:3]
+    dx, dy, dz = d3[0:1], d3[1:2], d3[2:3]
+    mx = oy * dz - oz * dy
+    my = oz * dx - ox * dz
+    mz = ox * dy - oy * dx
+    z = jnp.zeros_like(ox)
+    one = jnp.ones_like(ox)
+    return jnp.concatenate([d3, mx, my, mz, z, z, o3, one,
+                            tmin, tmax, z, z], axis=0), tmin, tmax
+
+
+def _make_coverage_kernel(tile, cpad):
+    def kernel(*refs):
+        plane_refs, (cov_ref, tnear_out) = refs[:8], refs[8:]
+        # the slab test as a K=6 matmul —
+        # t_plane = b·inv_ax + 1·(−o_ax·inv_ax).
+        o3, d3, tmin, tmax = _ray_rows(plane_refs)
+        inv = 1.0 / jnp.where(jnp.abs(d3) < 1e-12,
+                              jnp.where(d3 < 0, -1e-12, 1e-12), d3)
+        L_cov = jnp.concatenate([inv, -o3 * inv], axis=0)   # (6, TILE)
+        W = _dot(cov_ref[...], L_cov)                   # (6·cpad, TILE)
+        tn = jnp.broadcast_to(tmin, (cpad, tile))
+        tf = jnp.broadcast_to(tmax, (cpad, tile))
+        for ax in range(3):
+            lo = W[(2 * ax) * cpad:(2 * ax + 1) * cpad, :]
+            hi = W[(2 * ax + 1) * cpad:(2 * ax + 2) * cpad, :]
+            tn = jnp.maximum(tn, jnp.minimum(lo, hi))
+            tf = jnp.minimum(tf, jnp.maximum(lo, hi) * 1.0001)
+        hit = tn <= tf                                  # (cpad, TILE)
+        tnear = jnp.min(jnp.where(hit, tn, INF), axis=1, keepdims=True)
+        tnear_out[0, :, :] = tnear.reshape(1, cpad)
+
+    return kernel
+
+
+def _plane_specs(tile):
+    return [pl.BlockSpec((1, 1, tile), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)] * 8
+
+
+def coverage_tiles(planes, cov_mxu, n_clusters, interpret=False):
+    """Per-tile cluster coverage + entry t via one K=6 MXU pass per tile
+    against VMEM-resident bounds features — replaces the XLA
+    (nt·TILE·C) slab pass, which materialises hundreds of MB of HBM
+    intermediates at wavefront sizes.
+
+    planes: 8×(nt, 1, TILE) f32; cov_mxu (6, 6·CPAD) f32; returns
+    tnear (nt, CPAD) f32 with INF where the tile does not enter the
+    cluster (pad columns forced to INF)."""
+    nt, _, tile = planes[0].shape
+    cpad = cov_mxu.shape[1] // 6
+    tnear = pl.pallas_call(
+        _make_coverage_kernel(tile, cpad),
+        grid=(nt,),
+        in_specs=_plane_specs(tile) + [
+            pl.BlockSpec((6, 6 * cpad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[pl.BlockSpec((1, 1, cpad), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((nt, 1, cpad), jnp.float32)],
+        interpret=interpret,
+    )(*planes, cov_mxu)[0][:, 0, :]
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, cpad), 1)
+    return jnp.where(col < n_clusters, tnear, INF)
+
+
+# ------------------------------------------------------------ traversal
+
 def _make_closest_kernel(tile, k):
     chk = CH * k
 
-    def kernel(counts_ref, corder_ref, tnear_ref, rays_ref, packed_ref,
-               t_out, slot_out, scratch, sems):
+    def kernel(*refs):
+        counts_ref, corder_ref, tnear_ref = refs[:3]
+        plane_refs, packed_ref = refs[3:11], refs[11]
+        t_out, slot_out, bary_out, scratch, sems = refs[12:]
         count = counts_ref[0, 0, 0]
         n_rounds = (count + CH - 1) // CH
         cpad = tnear_ref.shape[2]
 
-        L = rays_ref[0]                                  # (TILE, 16)
-        tmin = rays_ref[0, :, 12:13]
-        tmax = rays_ref[0, :, 13:14]
-        slot_iota = jax.lax.broadcasted_iota(jnp.int32, (1, chk), 1)
+        L_T, tmin, tmax = _assemble_L(plane_refs)        # (16, TILE)
+        slot_iota = jax.lax.broadcasted_iota(jnp.int32, (chk, 1), 0)
 
         @pl.when(n_rounds > 0)
         def _():
             _start_round(corder_ref, packed_ref, scratch, sems, 0, 0)
 
         def body(r, carry):
-            t_best, best_slot, done = carry
+            t_best, best_slot, tb12, done = carry
             cur = r % 2
 
             @pl.when(r + 1 < n_rounds)
@@ -172,51 +255,74 @@ def _make_closest_kernel(tile, k):
             _wait_round(packed_ref, scratch, sems, cur)
 
             def compute(args):
-                t_best, best_slot = args
-                t = _round_t(L, scratch[cur], k, tmin, t_best)
+                t_best, best_slot, tb12 = args
+                w0, w1, w2, nd, tnum = _round_planes(L_T, scratch[cur], k)
+                same = ((w0 >= 0) & (w1 >= 0) & (w2 >= 0)) | \
+                       ((w0 <= 0) & (w1 <= 0) & (w2 <= 0))
+                ndok = jnp.abs(nd) > _EPS
+                t = tnum / jnp.where(ndok, nd, _EPS)
+                ok = same & ndok & (t > tmin) & (t < t_best)
+                t = jnp.where(ok, t, INF)
                 # pack (t, slot) into one int key: a single min-reduce
-                # yields both the (slightly conservative) best t and
-                # the winning lane; the exact t is recovered by the
-                # host-side finalize pass. t > tmin ≥ 0 keeps the f32
-                # bit pattern order-preserving as int32.
+                # yields both the (slightly conservative) best t and the
+                # winning lane. t > tmin ≥ 0 keeps the f32 bit pattern
+                # order-preserving as int32.
                 t_bits = jax.lax.bitcast_convert_type(t, jnp.int32)
                 key = (t_bits & ~jnp.int32(SLOT_MASK)) | slot_iota
-                kmin = jnp.min(key, axis=1, keepdims=True)
+                kmin = jnp.min(key, axis=0, keepdims=True)   # (1, TILE)
                 tj = jax.lax.bitcast_convert_type(
                     kmin & ~jnp.int32(SLOT_MASK), jnp.float32)
                 upd = tj < t_best
+                # one-hot extraction of the winner's exact t and Plücker
+                # volumes: the signed volumes ARE the barycentrics
+                # (w1 ↦ vertex p0, w2 ↦ p1, w0 ↦ p2), so no host-side
+                # Möller–Trumbore finalize pass (and none of its random
+                # vertex gathers) is needed.
+                sel = (slot_iota == (kmin & SLOT_MASK)) & (t < INF)
+                selw = lambda a: jnp.sum(jnp.where(sel, a, 0.0), axis=0,
+                                         keepdims=True)
+                s_t = selw(t)
+                s_w0 = selw(w0)
+                s_w1 = selw(w1)
+                s_w2 = selw(w2)
+                s_sum = s_w0 + s_w1 + s_w2
+                inv = 1.0 / jnp.where(jnp.abs(s_sum) > 1e-30, s_sum, 1e-30)
+                cand = jnp.concatenate([s_t, s_w2 * inv, s_w0 * inv], axis=0)
                 gslot = r * chk + (kmin & SLOT_MASK)
                 best_slot = jnp.where(upd, gslot, best_slot)
                 t_best = jnp.where(upd, tj, t_best)
-                return t_best, best_slot
+                tb12 = jnp.where(upd, cand, tb12)
+                return t_best, best_slot, tb12
 
-            t_best, best_slot = jax.lax.cond(
-                done, lambda args: args, compute, (t_best, best_slot))
+            t_best, best_slot, tb12 = jax.lax.cond(
+                done, lambda args: args, compute, (t_best, best_slot, tb12))
             # ordered-entry-t pruning: clusters arrive sorted by entry
             # t, so once the next round's nearest entry exceeds every
             # lane's best hit no later cluster can improve any lane.
             nxt = jnp.minimum((r + 1) * CH, cpad - 1)
             done = done | (tnear_ref[0, 0, nxt] >= jnp.max(t_best))
-            return t_best, best_slot, done
+            return t_best, best_slot, tb12, done
 
-        init = (tmax, jnp.full((tile, 1), -1, jnp.int32),
+        init = (tmax, jnp.full((1, tile), -1, jnp.int32),
+                jnp.concatenate([tmax, jnp.zeros((2, tile), jnp.float32)], axis=0),
                 jnp.zeros((), jnp.bool_))
-        t_best, best_slot, _ = jax.lax.fori_loop(0, n_rounds, body, init)
-        t_out[0, :, :] = t_best
+        t_best, best_slot, tb12, _ = jax.lax.fori_loop(0, n_rounds, body, init)
+        t_out[0, :, :] = tb12[0:1, :]
         slot_out[0, :, :] = best_slot
+        bary_out[0, :, :] = tb12[1:3, :]
 
     return kernel
 
 
 def _make_anyhit_kernel(tile, k):
-    def kernel(counts_ref, corder_ref, tnear_ref, rays_ref, packed_ref,
-               occ_out, scratch, sems):
+    def kernel(*refs):
+        counts_ref, corder_ref, tnear_ref = refs[:3]
+        plane_refs, packed_ref = refs[3:11], refs[11]
+        occ_out, scratch, sems = refs[12:]
         count = counts_ref[0, 0, 0]
         n_rounds = (count + CH - 1) // CH
 
-        L = rays_ref[0]
-        tmin = rays_ref[0, :, 12:13]
-        tmax = rays_ref[0, :, 13:14]
+        L_T, tmin, tmax = _assemble_L(plane_refs)
         live = tmax > tmin
 
         @pl.when(n_rounds > 0)
@@ -234,24 +340,29 @@ def _make_anyhit_kernel(tile, k):
             _wait_round(packed_ref, scratch, sems, cur)
 
             def compute(occ):
-                t = _round_t(L, scratch[cur], k, tmin, tmax)
-                # occ carried as i32: Mosaic can't legalize (TILE,1)
+                w0, w1, w2, nd, tnum = _round_planes(L_T, scratch[cur], k)
+                same = ((w0 >= 0) & (w1 >= 0) & (w2 >= 0)) | \
+                       ((w0 <= 0) & (w1 <= 0) & (w2 <= 0))
+                ndok = jnp.abs(nd) > _EPS
+                t = tnum / jnp.where(ndok, nd, _EPS)
+                ok = same & ndok & (t > tmin) & (t < tmax)
+                # occ carried as i32: Mosaic can't legalize (1, TILE)
                 # i1 vectors as fori_loop carries.
-                return occ | jnp.any(t < INF, axis=1,
+                return occ | jnp.any(ok, axis=0,
                                      keepdims=True).astype(jnp.int32)
 
             occ = jax.lax.cond(done, lambda o: o, compute, occ)
             done = jnp.all((occ != 0) | ~live)
             return occ, done
 
-        init = (jnp.zeros((tile, 1), jnp.int32), jnp.zeros((), jnp.bool_))
+        init = (jnp.zeros((1, tile), jnp.int32), jnp.zeros((), jnp.bool_))
         occ, _ = jax.lax.fori_loop(0, n_rounds, body, init)
         occ_out[0, :, :] = occ
 
     return kernel
 
 
-def _common_specs(nt, tile, cpad, n_out):
+def _common_specs(nt, tile, cpad, out_widths):
     """(in_specs, out_specs) for the traversal kernels.
 
     counts/corder/tnear ride as per-tile SMEM blocks: whole-array
@@ -264,57 +375,59 @@ def _common_specs(nt, tile, cpad, n_out):
         pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
         pl.BlockSpec((1, 1, cpad), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
         pl.BlockSpec((1, 1, cpad), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, tile, 16), lambda i: (i, 0, 0),
-                     memory_space=pltpu.VMEM),
+    ] + _plane_specs(tile) + [
         pl.BlockSpec(memory_space=pltpu.ANY),
     ]
     out_specs = [
-        pl.BlockSpec((1, tile, 1), lambda i: (i, 0, 0),
+        pl.BlockSpec((1, w, tile), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM)
-    ] * n_out
+        for w in out_widths
+    ]
     return in_specs, out_specs
 
 
-def traverse_tiles(packed_mxu, rays, corder, tnear, counts, interpret=False):
-    """Closest hit. packed_mxu (C, 16, 5, K) f32, rays (nt, TILE, 16)
+def traverse_tiles(packed_mxu, planes, corder, tnear, counts, interpret=False):
+    """Closest hit. packed_mxu (C, 16, 5, K) f32, planes 8×(nt, 1, TILE)
     f32, corder (nt, CPAD) i32 / tnear (nt, CPAD) f32 (CPAD a CH
     multiple, ascending entry t), counts (nt,) i32 →
-    (t_best (nt, TILE) f32, slot (nt, TILE) i32, slot = rank·K+lane)."""
-    nt, tile, _ = rays.shape
+    (t (nt, TILE) f32 exact plane t, slot (nt, TILE) i32 = rank·K+lane,
+    bary (nt, 2, TILE) f32)."""
+    nt, _, tile = planes[0].shape
     c, nf, nb, k = packed_mxu.shape
     cpad = corder.shape[1]
-    in_specs, out_specs = _common_specs(nt, tile, cpad, 2)
-    t_b, slot = pl.pallas_call(
+    in_specs, out_specs = _common_specs(nt, tile, cpad, (1, 1, 2))
+    t_b, slot, bary = pl.pallas_call(
         _make_closest_kernel(tile, k),
         grid=(nt,), in_specs=in_specs, out_specs=out_specs,
-        out_shape=[jax.ShapeDtypeStruct((nt, tile, 1), jnp.float32),
-                   jax.ShapeDtypeStruct((nt, tile, 1), jnp.int32)],
+        out_shape=[jax.ShapeDtypeStruct((nt, 1, tile), jnp.float32),
+                   jax.ShapeDtypeStruct((nt, 1, tile), jnp.int32),
+                   jax.ShapeDtypeStruct((nt, 2, tile), jnp.float32)],
         scratch_shapes=[
             pltpu.VMEM((2, 16, 5, CH, k), jnp.float32),
             pltpu.SemaphoreType.DMA((2, CH)),
         ],
         interpret=interpret,
     )(counts[:, None, None].astype(jnp.int32), corder[:, None, :],
-      tnear[:, None, :], rays, packed_mxu)
-    return t_b[:, :, 0], slot[:, :, 0]
+      tnear[:, None, :], *planes, packed_mxu)
+    return t_b[:, 0, :], slot[:, 0, :], bary
 
 
-def occluded_tiles(packed_mxu, rays, corder, tnear, counts, interpret=False):
+def occluded_tiles(packed_mxu, planes, corder, tnear, counts, interpret=False):
     """Any hit (shadow rays). Same layout contract as traverse_tiles →
     occ (nt, TILE) bool."""
-    nt, tile, _ = rays.shape
+    nt, _, tile = planes[0].shape
     c, nf, nb, k = packed_mxu.shape
     cpad = corder.shape[1]
-    in_specs, out_specs = _common_specs(nt, tile, cpad, 1)
+    in_specs, out_specs = _common_specs(nt, tile, cpad, (1,))
     occ = pl.pallas_call(
         _make_anyhit_kernel(tile, k),
         grid=(nt,), in_specs=in_specs, out_specs=out_specs,
-        out_shape=[jax.ShapeDtypeStruct((nt, tile, 1), jnp.int32)],
+        out_shape=[jax.ShapeDtypeStruct((nt, 1, tile), jnp.int32)],
         scratch_shapes=[
             pltpu.VMEM((2, 16, 5, CH, k), jnp.float32),
             pltpu.SemaphoreType.DMA((2, CH)),
         ],
         interpret=interpret,
     )(counts[:, None, None].astype(jnp.int32), corder[:, None, :],
-      tnear[:, None, :], rays, packed_mxu)[0]
-    return occ[:, :, 0] != 0
+      tnear[:, None, :], *planes, packed_mxu)[0]
+    return occ[:, 0, :] != 0

@@ -67,9 +67,14 @@ def test_pallas_kernel_interpret_matches_brute():
     o, d = _rand_rays(700, seed=22)
     t_min = jnp.full((700,), 1e-4, jnp.float32)
     t_max = jnp.full((700,), np.inf, jnp.float32)
-    bh, bt, bi, _, _ = trimod.intersect_brute(tri, o, d, t_min, t_max)
-    ph, pt, pi, _, _ = clmod.intersect_pallas(cs, tri, o, d, t_min, t_max,
-                                              interpret=True)
+    bh, bt, bi, bb1, bb2 = trimod.intersect_brute(tri, o, d, t_min, t_max)
+    ph, pt, pi, pb1, pb2 = clmod.intersect_pallas(cs, tri, o, d, t_min, t_max,
+                                                  interpret=True)
     assert (np.asarray(bh) == np.asarray(ph)).mean() > 0.995
-    m = np.asarray(bh) & np.asarray(ph)
+    both = np.asarray(bh) & np.asarray(ph)
+    assert (np.asarray(bi)[both] == np.asarray(pi)[both]).mean() > 0.99
+    m = both & (np.asarray(bi) == np.asarray(pi))
     np.testing.assert_allclose(np.asarray(bt)[m], np.asarray(pt)[m], rtol=1e-3)
+    # the kernel's Plücker-volume barycentrics must match Möller–Trumbore
+    np.testing.assert_allclose(np.asarray(bb1)[m], np.asarray(pb1)[m], atol=2e-3)
+    np.testing.assert_allclose(np.asarray(bb2)[m], np.asarray(pb2)[m], atol=2e-3)
