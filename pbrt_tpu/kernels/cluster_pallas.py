@@ -273,25 +273,30 @@ def _make_closest_kernel(tile, k):
                 tj = jax.lax.bitcast_convert_type(
                     kmin & ~jnp.int32(SLOT_MASK), jnp.float32)
                 upd = tj < t_best
-                # one-hot extraction of the winner's exact t and Plücker
-                # volumes: the signed volumes ARE the barycentrics
-                # (w1 ↦ vertex p0, w2 ↦ p1, w0 ↦ p2), so no host-side
-                # Möller–Trumbore finalize pass (and none of its random
-                # vertex gathers) is needed.
-                sel = (slot_iota == (kmin & SLOT_MASK)) & (t < INF)
-                selw = lambda a: jnp.sum(jnp.where(sel, a, 0.0), axis=0,
-                                         keepdims=True)
-                s_t = selw(t)
-                s_w0 = selw(w0)
-                s_w1 = selw(w1)
-                s_w2 = selw(w2)
-                s_sum = s_w0 + s_w1 + s_w2
-                inv = 1.0 / jnp.where(jnp.abs(s_sum) > 1e-30, s_sum, 1e-30)
-                cand = jnp.concatenate([s_t, s_w2 * inv, s_w0 * inv], axis=0)
+
+                def extract(tb12):
+                    # one-hot extraction of the winner's exact t and
+                    # Plücker volumes: the signed volumes ARE the
+                    # barycentrics (w1 ↦ vertex p0, w2 ↦ p1, w0 ↦ p2),
+                    # so no host-side Möller–Trumbore finalize pass (and
+                    # none of its random vertex gathers) is needed. The
+                    # reductions only run on rounds that improved a lane.
+                    sel = (slot_iota == (kmin & SLOT_MASK)) & (t < INF)
+                    selw = lambda a: jnp.sum(jnp.where(sel, a, 0.0), axis=0,
+                                             keepdims=True)
+                    s_t = selw(t)
+                    s_w0 = selw(w0)
+                    s_w1 = selw(w1)
+                    s_w2 = selw(w2)
+                    s_sum = s_w0 + s_w1 + s_w2
+                    inv = 1.0 / jnp.where(jnp.abs(s_sum) > 1e-30, s_sum, 1e-30)
+                    cand = jnp.concatenate([s_t, s_w2 * inv, s_w0 * inv], axis=0)
+                    return jnp.where(upd, cand, tb12)
+
+                tb12 = jax.lax.cond(jnp.any(upd), extract, lambda x: x, tb12)
                 gslot = r * chk + (kmin & SLOT_MASK)
                 best_slot = jnp.where(upd, gslot, best_slot)
                 t_best = jnp.where(upd, tj, t_best)
-                tb12 = jnp.where(upd, cand, tb12)
                 return t_best, best_slot, tb12
 
             t_best, best_slot, tb12 = jax.lax.cond(

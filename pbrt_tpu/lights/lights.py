@@ -57,6 +57,10 @@ class LightTable:
     # padded per-light emissive triangle table
     em_tri_idx: jnp.ndarray    # (L, ME) int32 global tri ids (pad -1)
     em_tri_cdf: jnp.ndarray    # (L, ME+1) area CDF
+    em_tri_p: jnp.ndarray      # (L, ME, 9) corner positions — sampling
+    #   reads THIS small table, not the big scene vertex pool (a 262k-row
+    #   gather from an 82k-row table costs ~8ms on TPU; from an (L·ME)-row
+    #   table XLA lowers to cheap selects)
     # environment map (single infinite light supported)
     env_image: jnp.ndarray     # (He, We, 3)
     env_dist: Any              # Distribution2D over luminance·sinθ
@@ -96,6 +100,7 @@ def build_lights(rows, tri=None, quad=None, env_image=None, env_to_world=None,
     total_area = np.zeros(L, np.float32)
     em_tri_idx = np.full((L, me), -1, np.int32)
     em_tri_cdf = np.zeros((L, me + 1), np.float32)
+    em_tri_p = np.zeros((L, me, 9), np.float32)
     env_index = -1
 
     tri_pos = np.asarray(tri.positions) if tri is not None and tri.indices.shape[0] else None
@@ -124,6 +129,9 @@ def build_lights(rows, tri=None, quad=None, env_image=None, env_to_world=None,
             v1 = tri_pos[tri_idx_np[ids, 1]]
             v2 = tri_pos[tri_idx_np[ids, 2]]
             areas = 0.5 * np.linalg.norm(np.cross(v1 - v0, v2 - v0), axis=-1)
+            em_tri_p[i, :len(ids), 0:3] = v0
+            em_tri_p[i, :len(ids), 3:6] = v1
+            em_tri_p[i, :len(ids), 6:9] = v2
             total_area[i] = areas.sum()
             cdf = np.concatenate([[0.0], np.cumsum(areas)]) / max(areas.sum(), 1e-12)
             em_tri_cdf[i, :len(ids) + 1] = cdf
@@ -157,6 +165,7 @@ def build_lights(rows, tri=None, quad=None, env_image=None, env_to_world=None,
         prim_start=jnp.asarray(prim_start), prim_count=jnp.asarray(prim_count),
         two_sided=jnp.asarray(two_sided), total_area=jnp.asarray(total_area),
         em_tri_idx=jnp.asarray(em_tri_idx), em_tri_cdf=jnp.asarray(em_tri_cdf),
+        em_tri_p=jnp.asarray(em_tri_p),
         env_image=jnp.asarray(env_image), env_dist=env_dist,
         env_to_world=jnp.asarray(env_to_world),
         world_to_env=jnp.asarray(env_to_world.T),
@@ -167,6 +176,17 @@ def build_lights(rows, tri=None, quad=None, env_image=None, env_to_world=None,
 
 
 # ------------------------------------------------------------ sampling
+
+def _sample_corner_tri(corners, u0, u1):
+    """Uniform-by-area point on packed corner rows (N, 9) → (p, ng)."""
+    p0, p1, p2 = corners[..., 0:3], corners[..., 3:6], corners[..., 6:9]
+    su0 = jnp.sqrt(jnp.maximum(u0, 0.0))
+    b0 = 1.0 - su0
+    b1 = u1 * su0
+    pnt = b0[..., None] * p0 + b1[..., None] * p1 + (1.0 - b0 - b1)[..., None] * p2
+    ng = vm.normalize(vm.cross(p1 - p0, p2 - p0))
+    return pnt, ng
+
 
 def sample_li(lights: LightTable, scene, lt, p_ref, u2, world_radius):
     """Sample incident direction from light `lt` (N,) toward p_ref (N,3).
@@ -239,11 +259,8 @@ def sample_li(lights: LightTable, scene, lt, p_ref, u2, world_radius):
         c0 = jnp.take_along_axis(cdf, slot[..., None], axis=-1)[..., 0]
         c1 = jnp.take_along_axis(cdf, slot[..., None] + 1, axis=-1)[..., 0]
         u0r = (u0 - c0) / jnp.maximum(c1 - c0, 1e-9)
-        tri_id = jnp.take_along_axis(lights.em_tri_idx[lt], slot[..., None], axis=-1)[..., 0]
-        tri_id = jnp.maximum(tri_id, 0)
-        from ..geom.triangle import sample_triangles
-        u2r = jnp.stack([u0r, u2[..., 1]], axis=-1)
-        pl_k, ng_l, _ = sample_triangles(scene.tri, tri_id, u2r)
+        corners = lights.em_tri_p[lt, slot]             # (N, 9) small-table
+        pl_k, ng_l = _sample_corner_tri(corners, u0r, u2[..., 1])
         to_l = pl_k - p_ref
         d2 = jnp.maximum(vm.length_squared(to_l), 1e-12)
         d = jnp.sqrt(d2)
@@ -418,11 +435,8 @@ def sample_le(lights: LightTable, scene, lt, u_pos, u_dir, world_radius):
         c0 = jnp.take_along_axis(cdf, slot[..., None], axis=-1)[..., 0]
         c1 = jnp.take_along_axis(cdf, slot[..., None] + 1, axis=-1)[..., 0]
         u0r = (u0 - c0) / jnp.maximum(c1 - c0, 1e-9)
-        tri_id = jnp.maximum(
-            jnp.take_along_axis(lights.em_tri_idx[lt], slot[..., None], axis=-1)[..., 0], 0)
-        from ..geom.triangle import sample_triangles
-        pl, ngl, _ = sample_triangles(scene.tri, tri_id,
-                                      jnp.stack([u0r, u_pos[..., 1]], axis=-1))
+        corners = lights.em_tri_p[lt, slot]
+        pl, ngl = _sample_corner_tri(corners, u0r, u_pos[..., 1])
         w_local = cosine_sample_hemisphere(u_dir)
         t1, t2 = vm.coordinate_system(ngl)
         d_k = w_local[..., 0:1] * t1 + w_local[..., 1:2] * t2 + w_local[..., 2:3] * ngl
