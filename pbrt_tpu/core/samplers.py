@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -44,11 +45,51 @@ class SamplerConfig(NamedTuple):
     jitter: bool = True
 
 
+def _kensler_mix(x, p, w):
+    """One round of Kensler's in-place hash permutation network
+    (Correlated Multi-Jittered Sampling, Pixar TM 13-01), masked to the
+    pow2 window w+1 ≥ n. Bijective on [0, w]."""
+    x = x ^ p
+    x = x * jnp.uint32(0xE170893D)
+    x = x ^ (p >> jnp.uint32(16))
+    x = x ^ ((x & w) >> jnp.uint32(4))
+    x = x ^ (p >> jnp.uint32(8))
+    x = x * jnp.uint32(0x0929EB3F)
+    x = x ^ (p >> jnp.uint32(23))
+    x = x ^ ((x & w) >> jnp.uint32(1))
+    x = x * (jnp.uint32(1) | (p >> jnp.uint32(27)))
+    x = x * jnp.uint32(0x6935FA69)
+    x = x ^ ((x & w) >> jnp.uint32(11))
+    x = x * jnp.uint32(0x74DCB303)
+    x = x ^ ((x & w) >> jnp.uint32(2))
+    x = x * jnp.uint32(0x9E501CC3)
+    x = x ^ ((x & w) >> jnp.uint32(2))
+    x = x * jnp.uint32(0xC860A3DF)
+    x = x & w
+    return x ^ (x >> jnp.uint32(5))
+
+
 def _perm_element(i, n, seed):
-    """Cheap stateless permutation of [0,n) (Kensler-style cycle-walking
-    would need loops; we use hash-offset rotation, valid for decorrelating
-    stratum visitation order across pixels)."""
-    return (i + pcg_hash(seed) % jnp.uint32(n)) % jnp.uint32(n)
+    """Stateless PERMUTATION of [0,n): Kensler cycle-walking hash
+    (replaces the round-1 hash-offset rotation, whose stratum visitation
+    order was correlated across pixels — every pixel walked strata in the
+    same cyclic order). Expected <2 walk steps per lane; the walk runs as
+    one whole-array while_loop."""
+    i = jnp.asarray(i, jnp.uint32)
+    seed = jnp.broadcast_to(jnp.asarray(seed, jnp.uint32), i.shape)
+    if n <= 1:
+        return jnp.zeros_like(i)
+    w = np.uint32(1)
+    while w < n:
+        w = np.uint32(w << 1)
+    w = jnp.uint32(w - 1)
+    nn = jnp.uint32(n)
+    x = _kensler_mix(i, seed, w)
+    x = jax.lax.while_loop(
+        lambda x: jnp.any(x >= nn),
+        lambda x: jnp.where(x >= nn, _kensler_mix(x, seed, w), x),
+        x)
+    return (x + seed) % nn
 
 
 def sample_1d(cfg: SamplerConfig, pixel_id, sample_idx, dim):

@@ -50,10 +50,24 @@ def make_scene(tri=None, quad=None, materials=None, lights=None, media=None, bvh
     if tri.positions.shape[0]:
         pts.append(np.asarray(tri.positions))
     if quad.kind.shape[0]:
-        c = np.asarray(quad.obj_to_world)[:, :3, 3]
-        r = np.abs(np.asarray(quad.params)[:, 0:1])
-        pts.append(c - r)
-        pts.append(c + r)
+        # conservative per-quadric object-space AABB: xy extent from the
+        # largest radius-like parameter, z extent from [z_min, z_max]
+        # widened by the radius (sphere stores z_min/z_max = ∓r); the 8
+        # corners are pushed through obj_to_world. Fixes cones/
+        # hyperboloids whose extent is NOT params[:,0] alone
+        # (cone.rs/hyperboloid.rs object_bound analogs).
+        o2w = np.asarray(quad.obj_to_world)
+        prm = np.asarray(quad.params)
+        r_xy = np.max(np.abs(prm[:, [0, 4, 5]]), axis=1)
+        ext = np.maximum(np.abs(prm[:, 0]), np.abs(prm[:, 4]))
+        z_lo = np.minimum(prm[:, 1], -ext)
+        z_hi = np.maximum(prm[:, 2], ext)
+        for sx in (-1, 1):
+            for sy in (-1, 1):
+                for z in (z_lo, z_hi):
+                    corner = np.stack([sx * r_xy, sy * r_xy, z], axis=-1)
+                    w = np.einsum("qij,qj->qi", o2w[:, :3, :3], corner) + o2w[:, :3, 3]
+                    pts.append(w)
     if pts:
         allp = np.concatenate(pts, axis=0)
         lo, hi = allp.min(0), allp.max(0)

@@ -234,10 +234,25 @@ def sample_li(lights: LightTable, scene, lt, p_ref, u2, world_radius):
             g = _latlong_lookup(lights.gonio_image, wl)
             li_k = jnp.where((kind == LIGHT_GONIO)[..., None], li_k * g, li_k)
         if LIGHT_PROJECTION in kp:
-            ct = vm.dot(-wi_k, ldir)
-            inside = ct >= lights.cos_end[lt]
+            # perspective-project the light→point direction onto the
+            # image plane and modulate by the projected texture
+            # (projection.rs:21-181 — the image lookup the round-1 cone
+            # mask omitted; shares the gonio image slot).
+            dl = -wi_k                                   # light → point
+            ct = vm.dot(dl, ldir)
+            ce = lights.cos_end[lt]
+            tan_half = safe_sqrt(1.0 - ce * ce) / jnp.maximum(ce, 1e-6)
+            t1, t2 = vm.coordinate_system(ldir)
+            x = vm.dot(dl, t1)
+            y = vm.dot(dl, t2)
+            z = jnp.maximum(ct, 1e-6)
+            su = 0.5 + 0.5 * (x / z) / jnp.maximum(tan_half, 1e-6)
+            sv = 0.5 + 0.5 * (y / z) / jnp.maximum(tan_half, 1e-6)
+            inside = (ct > 0.0) & (su >= 0.0) & (su <= 1.0) & (sv >= 0.0) & (sv <= 1.0)
+            proj = _env_lookup_uv(lights.gonio_image,
+                                  jnp.stack([su, sv], axis=-1))
             li_k = jnp.where((kind == LIGHT_PROJECTION)[..., None],
-                             li_k * inside[..., None], li_k)
+                             li_k * proj * inside[..., None], li_k)
         mask = (kind == LIGHT_POINT) | (kind == LIGHT_SPOT) | \
                (kind == LIGHT_GONIO) | (kind == LIGHT_PROJECTION)
         put(mask, wi_k, li_k, jnp.ones(n, Float), lp, d, jnp.ones(n, bool))
@@ -305,10 +320,25 @@ def sample_li(lights: LightTable, scene, lt, p_ref, u2, world_radius):
 
 
 def _env_lookup_uv(img, uv):
+    """Bilinear lat-long lookup with phi wrap-around (mipmap.rs:183-213
+    triangle-filter semantics at level 0; fixes the blocky env lighting
+    of a nearest lookup)."""
     h, w = img.shape[:2]
-    x = jnp.clip((uv[..., 0] * w).astype(jnp.int32), 0, w - 1)
-    y = jnp.clip((uv[..., 1] * h).astype(jnp.int32), 0, h - 1)
-    return img[y, x]
+    x = uv[..., 0] * w - 0.5
+    y = uv[..., 1] * h - 0.5
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    x0w = jnp.mod(x0, w)            # phi wraps
+    x1w = jnp.mod(x0 + 1, w)
+    y0c = jnp.clip(y0, 0, h - 1)    # theta clamps at the poles
+    y1c = jnp.clip(y0 + 1, 0, h - 1)
+    v00 = img[y0c, x0w]
+    v01 = img[y0c, x1w]
+    v10 = img[y1c, x0w]
+    v11 = img[y1c, x1w]
+    return (1 - fy) * ((1 - fx) * v00 + fx * v01) + fy * ((1 - fx) * v10 + fx * v11)
 
 
 def _latlong_lookup(img, w_local):

@@ -3,6 +3,8 @@ estimate the same light transport — means must agree)."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from scenes.cornell import cornell_spheres, cornell_camera
 from pbrt_tpu.integrate import sppm, mlt, driver, path
 from pbrt_tpu.core import samplers as smp
