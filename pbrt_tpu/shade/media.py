@@ -137,6 +137,70 @@ def homogeneous_sample(sigma_t, sigma_s, dist, u, channel_u):
     return sampled, t_clamped, weight
 
 
+# ------------------------------------------- per-lane medium dispatch
+# `med` is a per-lane medium id into the MediumTable; -1 = vacuum. These
+# are the wavefront analogs of Medium::tr / Medium::sample dispatched
+# through the MediumInterface (medium.rs:41, volpath.rs:62-90) — a
+# masked type-switch over the kinds present, like materials/lights.
+
+def medium_tr(media: MediumTable, med, o, d, dist, key):
+    """Transmittance along [0, dist) of rays starting inside medium
+    `med` (N,) — 1 where med < 0 (vacuum)."""
+    if media is None:
+        return jnp.ones(o.shape, Float)
+    midc = jnp.maximum(med, 0)
+    kind = media.kind[midc]
+    tr = jnp.ones(o.shape, Float)
+    if MEDIUM_HOMOGENEOUS in media.kinds_present:
+        sigma_t = media.sigma_a[midc] + media.sigma_s[midc]
+        tr_h = homogeneous_tr(sigma_t, dist)
+        tr = jnp.where((kind == MEDIUM_HOMOGENEOUS)[..., None], tr_h, tr)
+    if MEDIUM_GRID in media.kinds_present:
+        tr_g = grid_tr(media, midc, o, d, dist, key)
+        tr = jnp.where((kind == MEDIUM_GRID)[..., None], tr_g, tr)
+    return jnp.where((med >= 0)[..., None], tr, 1.0)
+
+
+def medium_sample(media: MediumTable, med, o, d, dist, u, u_ch, key):
+    """Sample a medium interaction along [0, dist) inside medium `med`.
+    Returns (sampled (bool), t, weight (N,3)) — weight is the β update
+    for BOTH outcomes (medium event or surviving to the surface).
+    Vacuum lanes (med < 0): sampled=False, weight=1."""
+    n = o.shape[:-1]
+    if media is None:
+        return (jnp.zeros(n, bool), jnp.broadcast_to(dist, n),
+                jnp.ones(n + (3,), Float))
+    midc = jnp.maximum(med, 0)
+    kind = media.kind[midc]
+    sampled = jnp.zeros(n, bool)
+    t = jnp.broadcast_to(dist, n)
+    weight = jnp.ones(n + (3,), Float)
+    if MEDIUM_HOMOGENEOUS in media.kinds_present:
+        sigma_t = media.sigma_a[midc] + media.sigma_s[midc]
+        s_h, t_h, w_h = homogeneous_sample(sigma_t, media.sigma_s[midc],
+                                           dist, u, u_ch)
+        m = kind == MEDIUM_HOMOGENEOUS
+        sampled = jnp.where(m, s_h, sampled)
+        t = jnp.where(m, t_h, t)
+        weight = jnp.where(m[..., None], w_h, weight)
+    if MEDIUM_GRID in media.kinds_present:
+        s_g, t_g, w_g = grid_sample(media, midc, o, d, dist, key)
+        m = kind == MEDIUM_GRID
+        sampled = jnp.where(m, s_g, sampled)
+        t = jnp.where(m, t_g, t)
+        weight = jnp.where(m[..., None], w_g, weight)
+    vac = med < 0
+    return (sampled & ~vac, jnp.where(vac, dist, t),
+            jnp.where(vac[..., None], 1.0, weight))
+
+
+def phase_g(media: MediumTable, med):
+    """Per-lane HG asymmetry parameter (0 for vacuum lanes)."""
+    if media is None:
+        return jnp.zeros(med.shape, Float)
+    return jnp.where(med >= 0, media.g[jnp.maximum(med, 0)], 0.0)
+
+
 # ------------------------------------------------------ grid medium
 
 def grid_density(media: MediumTable, mid, p_world):
