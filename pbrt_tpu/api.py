@@ -211,6 +211,10 @@ class SceneBuilder:
 
     # ---- build ---------------------------------------------------------
     def build(self, bvh=None):
+        if not self._materials:
+            # shape-less scenes (pure media / env-light tests) still need
+            # a non-empty material table — gathers from 0-row tables fail
+            self.matte(kd=(0.0, 0.0, 0.0))
         if self._tris:
             tri = TriangleSoA(
                 positions=jnp.asarray(np.concatenate(self._verts)),

@@ -81,6 +81,97 @@ def test_volpath_dense_medium_darkens_surfaces():
     assert np.isnan(img_fog).sum() == 0
 
 
+def test_volpath_vacuum_matches_path_exactly():
+    """σ = 0 medium: distance sampling never scatters and every weight
+    is 1, so volpath's surface stream must reproduce path.li (same
+    sample dims, same estimator) to float tolerance."""
+    scene = cornell_spheres()
+    from pbrt_tpu.shade import media as medmod
+    med = medmod.build_media([dict(kind=medmod.MEDIUM_HOMOGENEOUS,
+                                   sigma_a=(0.0,) * 3, sigma_s=(0.0,) * 3)])
+    cam = cornell_camera((16, 16))
+    cfg = _cfg(16, spp=2, depth=3)
+    img_v = np.asarray(driver.render(scene._replace(media=med), cam, cfg,
+                                     volpath.make_li(cfg)))
+    img_p = np.asarray(driver.render(scene, cam, cfg, path.make_li(cfg)))
+    np.testing.assert_allclose(img_v, img_p, rtol=1e-4, atol=1e-5)
+
+
+def test_volpath_scattering_furnace():
+    """Pure-scattering medium (albedo 1) inside a uniform environment:
+    L = Le exactly, for any σ_s — every scattered path eventually
+    escapes with no absorption. Catches the missing phase-MIS half
+    (VERDICT r2 weak #2a): dropping emission found by phase-sampled
+    continuation rays makes L < Le."""
+    b = SceneBuilder()
+    b.infinite_light(radiance=1.0)
+    b.set_homogeneous_medium(sigma_a=(0.0,) * 3, sigma_s=(0.4,) * 3, g=0.0)
+    scene = b.build()
+    c2w = tf.look_at(np.array([0., 0., 0.]), np.array([0., 0., -1.]),
+                     np.array([0., 1., 0.]))
+    cam = make_perspective(c2w, 60.0, (12, 12))
+    cfg = _cfg(12, spp=32, depth=8)
+    img = np.asarray(driver.render(scene, cam, cfg, volpath.make_li(cfg)))
+    assert np.isnan(img).sum() == 0
+    np.testing.assert_allclose(img.mean(), 1.0, rtol=0.02)
+
+
+def test_volpath_single_scatter_analytic():
+    """Single scattering from a point light in a homogeneous medium vs
+    a quadrature oracle: with max_depth=1 volpath computes EXACTLY
+    L = ∫ σ_s e^{−σ_t s} p(θ) I e^{−σ_t d(s)} / d(s)² ds (the
+    volpath.rs:62-136 medium-event estimator; VERDICT r2 weak #2)."""
+    from pbrt_tpu.shade import media as medmod
+    from pbrt_tpu.cameras import cameras as cammod
+    import jax.numpy as jnp
+
+    sig_a, sig_s = 0.15, 0.1
+    sig_t = sig_a + sig_s
+    I = 4.0
+    lp = np.array([0.6, 0.4, -1.0], np.float32)
+
+    b = SceneBuilder()
+    b.point_light(lp, (I, I, I))
+    b.set_homogeneous_medium(sigma_a=(sig_a,) * 3, sigma_s=(sig_s,) * 3, g=0.0)
+    scene = b.build()
+
+    res, spp = 8, 256
+    c2w = tf.look_at(np.array([0., 0., 1.]), np.array([0., 0., -1.]),
+                     np.array([0., 1., 0.]))
+    cam = make_perspective(c2w, 50.0, (res, res))
+    cfg = _cfg(res, spp=spp, depth=1)
+
+    hw = res * res
+    pix = jnp.arange(hw, dtype=jnp.uint32)
+    px = (pix % res).astype(jnp.float32) + 0.5
+    py = (pix // res).astype(jnp.float32) + 0.5
+    pfilm = jnp.stack([px, py], axis=-1)
+    o, d, _ = cammod.generate_rays(cam, pfilm, jnp.zeros((hw, 2)), jnp.zeros(hw))
+
+    acc = np.zeros((hw, 3), np.float64)
+    for s in range(spp):
+        sid = jnp.full((hw,), s, jnp.uint32)
+        acc += np.asarray(volpath.li(scene, o, d, pix, sid, cfg))
+    img = acc / spp
+
+    # quadrature oracle over each camera ray, truncated at the same
+    # 2·world_radius escape distance volpath uses
+    on, dn = np.asarray(o, np.float64), np.asarray(d, np.float64)
+    seg = 2.0 * float(scene.world_radius)
+    sgrid = (np.arange(4096) + 0.5) / 4096 * seg
+    ds_ = seg / 4096
+    ref = np.zeros(hw)
+    for ax in range(hw):
+        x = on[ax] + sgrid[:, None] * dn[ax]
+        dist = np.linalg.norm(lp - x, axis=-1)
+        ref[ax] = np.sum(sig_s * np.exp(-sig_t * sgrid)
+                         * (1.0 / (4.0 * np.pi))
+                         * I * np.exp(-sig_t * dist) / dist ** 2) * ds_
+    np.testing.assert_allclose(img.mean(), ref.mean(), rtol=0.05)
+    # per-pixel agreement at a looser tolerance (MC noise)
+    np.testing.assert_allclose(img.mean(axis=-1), ref, rtol=0.2)
+
+
 @pytest.mark.parametrize("kind", ["random", "stratified", "halton", "sobol", "zerotwo"])
 def test_all_samplers_render(kind):
     scene = cornell_spheres()
