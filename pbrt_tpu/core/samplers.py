@@ -75,8 +75,8 @@ def _perm_element(i, n, seed):
     order was correlated across pixels — every pixel walked strata in the
     same cyclic order). Expected <2 walk steps per lane; the walk runs as
     one whole-array while_loop."""
-    i = jnp.asarray(i, jnp.uint32)
-    seed = jnp.broadcast_to(jnp.asarray(seed, jnp.uint32), i.shape)
+    i, seed = jnp.broadcast_arrays(jnp.asarray(i, jnp.uint32),
+                                   jnp.asarray(seed, jnp.uint32))
     if n <= 1:
         return jnp.zeros_like(i)
     w = np.uint32(1)

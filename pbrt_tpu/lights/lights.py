@@ -47,6 +47,8 @@ class LightTable:
     kind: jnp.ndarray          # (L,) int32
     p: jnp.ndarray             # (L, 3) position
     direction: jnp.ndarray     # (L, 3) spot/distant/projection axis (unit)
+    tangent: jnp.ndarray       # (L, 3) image-plane x axis (projection/spot)
+    bitangent: jnp.ndarray     # (L, 3) image-plane y axis
     emit: jnp.ndarray          # (L, 3) I (delta) or L (area/infinite scale)
     cos_start: jnp.ndarray     # (L,) spot falloff start / projection fov cos
     cos_end: jnp.ndarray       # (L,) spot total width
@@ -91,6 +93,8 @@ def build_lights(rows, tri=None, quad=None, env_image=None, env_to_world=None,
     kind = np.zeros(L, np.int32)
     p = np.zeros((L, 3), np.float32)
     direction = np.tile(np.array([0, 0, 1], np.float32), (L, 1))
+    tangent = np.tile(np.array([1, 0, 0], np.float32), (L, 1))
+    bitangent = np.tile(np.array([0, 1, 0], np.float32), (L, 1))
     emit = np.zeros((L, 3), np.float32)
     cos_start = np.ones(L, np.float32)
     cos_end = np.ones(L, np.float32)
@@ -113,6 +117,16 @@ def build_lights(rows, tri=None, quad=None, env_image=None, env_to_world=None,
         if "direction" in r:
             d = np.asarray(r["direction"], np.float32)
             direction[i] = d / max(np.linalg.norm(d), 1e-12)
+        # deterministic image frame from the light's orientation (the
+        # projection.rs light_to_world analog; ADVICE r2): `up` row key
+        # overrides, else world +y (or +x when the axis is near ±y).
+        up = np.asarray(r.get("up", (0.0, 1.0, 0.0)), np.float32)
+        if abs(float(np.dot(up, direction[i]))) > 0.999:
+            up = np.array([1.0, 0.0, 0.0], np.float32)
+        t1 = np.cross(up, direction[i])
+        t1 = t1 / max(np.linalg.norm(t1), 1e-12)
+        tangent[i] = t1
+        bitangent[i] = np.cross(direction[i], t1)
         emit[i] = np.broadcast_to(np.asarray(r.get("I", r.get("L", 1.0)), np.float32), (3,))
         if k == LIGHT_SPOT:
             cone = np.deg2rad(r.get("cone_deg", 30.0))
@@ -161,6 +175,7 @@ def build_lights(rows, tri=None, quad=None, env_image=None, env_to_world=None,
 
     return LightTable(
         kind=jnp.asarray(kind), p=jnp.asarray(p), direction=jnp.asarray(direction),
+        tangent=jnp.asarray(tangent), bitangent=jnp.asarray(bitangent),
         emit=jnp.asarray(emit), cos_start=jnp.asarray(cos_start), cos_end=jnp.asarray(cos_end),
         prim_start=jnp.asarray(prim_start), prim_count=jnp.asarray(prim_count),
         two_sided=jnp.asarray(two_sided), total_area=jnp.asarray(total_area),
@@ -239,18 +254,9 @@ def sample_li(lights: LightTable, scene, lt, p_ref, u2, world_radius):
             # (projection.rs:21-181 — the image lookup the round-1 cone
             # mask omitted; shares the gonio image slot).
             dl = -wi_k                                   # light → point
-            ct = vm.dot(dl, ldir)
-            ce = lights.cos_end[lt]
-            tan_half = safe_sqrt(1.0 - ce * ce) / jnp.maximum(ce, 1e-6)
-            t1, t2 = vm.coordinate_system(ldir)
-            x = vm.dot(dl, t1)
-            y = vm.dot(dl, t2)
-            z = jnp.maximum(ct, 1e-6)
-            su = 0.5 + 0.5 * (x / z) / jnp.maximum(tan_half, 1e-6)
-            sv = 0.5 + 0.5 * (y / z) / jnp.maximum(tan_half, 1e-6)
-            inside = (ct > 0.0) & (su >= 0.0) & (su <= 1.0) & (sv >= 0.0) & (sv <= 1.0)
-            proj = _env_lookup_uv(lights.gonio_image,
-                                  jnp.stack([su, sv], axis=-1))
+            su, sv, inside = _project_uv(lights, lt, dl, ldir)
+            proj = _image_lookup_clamped(lights.gonio_image,
+                                         jnp.stack([su, sv], axis=-1))
             li_k = jnp.where((kind == LIGHT_PROJECTION)[..., None],
                              li_k * proj * inside[..., None], li_k)
         mask = (kind == LIGHT_POINT) | (kind == LIGHT_SPOT) | \
@@ -339,6 +345,51 @@ def _env_lookup_uv(img, uv):
     v10 = img[y1c, x0w]
     v11 = img[y1c, x1w]
     return (1 - fy) * ((1 - fx) * v00 + fx * v01) + fy * ((1 - fx) * v10 + fx * v11)
+
+
+def _image_lookup_clamped(img, uv):
+    """Bilinear lookup with BOTH axes clamped — for the projection/gonio
+    image slot, where the lat-long phi wrap of _env_lookup_uv would
+    bleed the left/right borders into each other (ADVICE r2)."""
+    h, w = img.shape[:2]
+    x = uv[..., 0] * w - 0.5
+    y = uv[..., 1] * h - 0.5
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    x0c = jnp.clip(x0, 0, w - 1)
+    x1c = jnp.clip(x0 + 1, 0, w - 1)
+    y0c = jnp.clip(y0, 0, h - 1)
+    y1c = jnp.clip(y0 + 1, 0, h - 1)
+    v00 = img[y0c, x0c]
+    v01 = img[y0c, x1c]
+    v10 = img[y1c, x0c]
+    v11 = img[y1c, x1c]
+    return (1 - fy) * ((1 - fx) * v00 + fx * v01) + fy * ((1 - fx) * v10 + fx * v11)
+
+
+def _project_uv(lights: LightTable, lt, dl, ldir):
+    """Image-plane (u, v) of the light→point direction `dl` for a
+    projection light: frame from the light's stored orientation
+    (projection.rs light_to_world), screen window widened by the image
+    aspect ratio (projection.rs:60-72 screen_bounds)."""
+    ct = vm.dot(dl, ldir)
+    ce = lights.cos_end[lt]
+    tan_half = safe_sqrt(1.0 - ce * ce) / jnp.maximum(ce, 1e-6)
+    hgt, wdt = lights.gonio_image.shape[:2]
+    aspect = float(wdt) / float(hgt)
+    sx = max(aspect, 1.0)
+    sy = max(1.0 / aspect, 1.0)
+    t1 = lights.tangent[lt]
+    t2 = lights.bitangent[lt]
+    x = vm.dot(dl, t1)
+    y = vm.dot(dl, t2)
+    z = jnp.maximum(ct, 1e-6)
+    su = 0.5 + 0.5 * (x / z) / jnp.maximum(tan_half * sx, 1e-6)
+    sv = 0.5 + 0.5 * (y / z) / jnp.maximum(tan_half * sy, 1e-6)
+    inside = (ct > 0.0) & (su >= 0.0) & (su <= 1.0) & (sv >= 0.0) & (sv <= 1.0)
+    return su, sv, inside
 
 
 def _latlong_lookup(img, w_local):
@@ -445,6 +496,30 @@ def sample_le(lights: LightTable, scene, lt, u_pos, u_dir, world_radius):
         falloff = jnp.where(ct < ce, 0.0, jnp.where(ct > cs, 1.0, delta_t ** 4))
         put(mask, lp, d_k, d_k, emit * falloff[..., None],
             jnp.ones(n, Float), uniform_cone_pdf(ce))
+    if LIGHT_GONIO in kp:
+        # uniform-sphere emission modulated by the goniometric image
+        # (goniometric.rs sample_le analog) — SPPM/BDPT light subpaths.
+        mask = kind == LIGHT_GONIO
+        d_k = uniform_sample_sphere(u_dir)
+        wl = jnp.einsum("ij,...j->...i", lights.world_to_env, d_k)
+        g = _latlong_lookup(lights.gonio_image, wl)
+        put(mask, lp, d_k, d_k, emit * g, jnp.ones(n, Float),
+            jnp.full(n, INV_4PI, Float))
+    if LIGHT_PROJECTION in kp:
+        # uniform cone within the projection fov, modulated by the
+        # projected texture (projection.rs sample_le analog).
+        mask = kind == LIGHT_PROJECTION
+        ce = lights.cos_end[lt]
+        w_local = uniform_sample_cone(u_dir, ce)
+        t1p = lights.tangent[lt]
+        t2p = lights.bitangent[lt]
+        d_k = w_local[..., 0:1] * t1p + w_local[..., 1:2] * t2p \
+            + w_local[..., 2:3] * ldir
+        su, sv, inside = _project_uv(lights, lt, d_k, ldir)
+        proj = _image_lookup_clamped(lights.gonio_image,
+                                     jnp.stack([su, sv], axis=-1))
+        le_k = emit * proj * inside[..., None]
+        put(mask, lp, d_k, d_k, le_k, jnp.ones(n, Float), uniform_cone_pdf(ce))
     if LIGHT_DISTANT in kp:
         mask = kind == LIGHT_DISTANT
         # point on a world-radius disk perpendicular to the direction
