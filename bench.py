@@ -45,7 +45,10 @@ def main():
         pixel_id = jnp.tile(jnp.arange(hw, dtype=jnp.uint32)[None, :], (spp_batch, 1))
         sample_idx = (jnp.arange(spp_batch, dtype=jnp.uint32) + sample_lo)[:, None] \
             * jnp.ones((1, hw), jnp.uint32)
-        li_fn = lambda sc, o, d, pid, sid: path.li(sc, o, d, pid, sid, cfg, return_stats=True)
+        from pbrt_tpu.cameras import cameras as cammod
+        cone = cammod.cone_start(camera)
+        li_fn = lambda sc, o, d, pid, sid: path.li(sc, o, d, pid, sid, cfg,
+                                                   return_stats=True, cone=cone)
         (rad, stats), wt = _render_lanes(scene, camera, cfg, li_fn, pixel_id, sample_idx)
         return jnp.sum(rad * wt[..., None], axis=0), stats["rays_traced"]
 

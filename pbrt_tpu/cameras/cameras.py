@@ -105,6 +105,21 @@ def make_environment(camera_to_world, resolution, shutter_open=0.0, shutter_clos
                              jnp.asarray(shutter_close, Float), tuple(resolution))
 
 
+def cone_start(camera):
+    """(width0, spread) of the pixel ray cone — the compact TPU-native
+    stand-in for per-ray differentials (camera.rs:25-62 generates dx/dy
+    rays; a cone carries the same footprint information in 2 scalars,
+    which the mip LOD consumes via Hit.uv_scale)."""
+    h, w = camera.resolution
+    x0, x1, y0, y1 = _screen_window(h, w)
+    if isinstance(camera, PerspectiveCamera):
+        tan_half = jnp.sqrt(camera.area / jnp.abs((x1 - x0) * (y1 - y0)))
+        return jnp.zeros((), Float), (y1 - y0) * tan_half / h
+    if isinstance(camera, OrthographicCamera):
+        return jnp.asarray((y1 - y0) / h, Float), jnp.zeros((), Float)
+    return jnp.zeros((), Float), jnp.asarray(PI / h, Float)
+
+
 def generate_rays(camera, pfilm, u_lens, u_time):
     """Batched ray generation.
 

@@ -58,7 +58,17 @@ def make_scene(tri=None, quad=None, materials=None, lights=None, media=None, bvh
         # (cone.rs/hyperboloid.rs object_bound analogs).
         o2w = np.asarray(quad.obj_to_world)
         prm = np.asarray(quad.params)
+        knd = np.asarray(quad.kind)
         r_xy = np.max(np.abs(prm[:, [0, 4, 5]]), axis=1)
+        # hyperboloid a(x²+y²) − c z² = 1 (params e0=a, e1=c): the xy
+        # radius grows with |z| as sqrt((1 + c z²)/a), so the generic
+        # max-of-params bound is NOT conservative (hyperboloid.rs
+        # object_bound analog; ADVICE r2).
+        from .types import QUAD_HYPERBOLOID
+        z2 = np.maximum(prm[:, 1] ** 2, prm[:, 2] ** 2)
+        r_hyp = np.sqrt(np.maximum(1.0 + np.abs(prm[:, 5]) * z2, 0.0)
+                        / np.maximum(np.abs(prm[:, 4]), 1e-12))
+        r_xy = np.where(knd == QUAD_HYPERBOLOID, r_hyp, r_xy)
         ext = np.maximum(np.abs(prm[:, 0]), np.abs(prm[:, 4]))
         z_lo = np.minimum(prm[:, 1], -ext)
         z_hi = np.maximum(prm[:, 2], ext)
@@ -89,7 +99,7 @@ def _empty_hit(o, d):
                ng=z3, ns=z3, uv=jnp.zeros(n + (2,), Float), dpdu=z3,
                wo=-d, material_id=jnp.full(n, -1, Int),
                light_id=jnp.full(n, -1, Int), prim_kind=jnp.zeros(n, Int),
-               prim_id=jnp.full(n, -1, Int))
+               prim_id=jnp.full(n, -1, Int), uv_scale=jnp.ones(n, Float))
 
 
 def intersect(scene: Scene, o, d, t_min=None, t_max=None, active=None) -> Hit:
@@ -123,10 +133,10 @@ def intersect(scene: Scene, o, d, t_min=None, t_max=None, active=None) -> Hit:
         else:
             t_hit, t_t, t_idx, b1, b2 = trimod.intersect_brute(scene.tri, o, d, t_min, best_t)
         if scene.tri.shade_rec is not None:
-            p, ng, ns, uv, dpdu, mat_id, light_id = trimod.shading_from_rec(
+            p, ng, ns, uv, dpdu, uvs_, mat_id, light_id = trimod.shading_from_rec(
                 scene.tri, t_idx, b1, b2)
         else:
-            p, ng, ns, uv, dpdu = trimod.shading_geometry(
+            p, ng, ns, uv, dpdu, uvs_ = trimod.shading_geometry(
                 scene.tri, o, d, t_idx, t_t, b1, b2)
             mat_id = scene.tri.material_id[t_idx]
             light_id = scene.tri.light_id[t_idx]
@@ -142,7 +152,8 @@ def intersect(scene: Scene, o, d, t_min=None, t_max=None, active=None) -> Hit:
                   material_id=jnp.where(take, mat_id, hit.material_id),
                   light_id=jnp.where(take, light_id, hit.light_id),
                   prim_kind=jnp.where(take, 0, hit.prim_kind),
-                  prim_id=jnp.where(take, t_idx, hit.prim_id))
+                  prim_id=jnp.where(take, t_idx, hit.prim_id),
+                  uv_scale=jnp.where(take, uvs_, hit.uv_scale))
         best_t = jnp.where(take, t_t, best_t)
 
     if scene.quad.count:
@@ -160,7 +171,11 @@ def intersect(scene: Scene, o, d, t_min=None, t_max=None, active=None) -> Hit:
                   material_id=jnp.where(take, scene.quad.material_id[q_idx], hit.material_id),
                   light_id=jnp.where(take, scene.quad.light_id[q_idx], hit.light_id),
                   prim_kind=jnp.where(take, 1, hit.prim_kind),
-                  prim_id=jnp.where(take, q_idx, hit.prim_id))
+                  prim_id=jnp.where(take, q_idx, hit.prim_id),
+                  # quadric uv spans the full surface: ~1/r per uv unit
+                  uv_scale=jnp.where(
+                      take, 1.0 / jnp.maximum(scene.quad.params[q_idx, ..., 0], 1e-6),
+                      hit.uv_scale))
         best_t = jnp.where(take, q_t, best_t)
     return hit
 

@@ -153,8 +153,16 @@ def shading_from_rec(tri, tri_idx, b1, b2):
     ns = jnp.where(has_ns[..., None], vm.normalize(ns_interp), ng)
     ng = vm.face_forward(ng, ns)
     dpdu = vm.normalize(dpdu - vm.dot(dpdu, ns)[..., None] * ns)
-    return (p, ng, ns, uv, dpdu,
+    uv_scale = _uv_scale(det, p1 - p0, p2 - p0)
+    return (p, ng, ns, uv, dpdu, uv_scale,
             r[..., 25].astype(Int), r[..., 26].astype(Int))
+
+
+def _uv_scale(uv_det, e1, e2):
+    """uv units per world unit: sqrt(uv_area / world_area) of the
+    triangle parametrization (|uv_det| = 2·uv_area)."""
+    world2 = vm.length(vm.cross(e1, e2))        # = 2·world_area
+    return jnp.sqrt(jnp.abs(uv_det) / jnp.maximum(world2, 1e-20))
 
 
 def shading_geometry(tri, o, d, tri_idx, t, b1, b2):
@@ -196,7 +204,7 @@ def shading_geometry(tri, o, d, tri_idx, t, b1, b2):
     ng = vm.face_forward(ng, ns)
     # re-orthogonalise dpdu against ns
     dpdu = vm.normalize(dpdu - vm.dot(dpdu, ns)[..., None] * ns)
-    return p, ng, ns, uv, dpdu
+    return p, ng, ns, uv, dpdu, _uv_scale(det, p1 - p0, p2 - p0)
 
 
 def triangle_area(tri):

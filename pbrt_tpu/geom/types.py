@@ -107,6 +107,9 @@ class Hit(NamedTuple):
     light_id: jnp.ndarray     # (N,) int32 (area light or -1)
     prim_kind: jnp.ndarray    # (N,) int32: 0 tri, 1 quadric
     prim_id: jnp.ndarray      # (N,) int32
+    uv_scale: jnp.ndarray     # (N,) uv units per world unit at the hit —
+    #   sqrt(uv_area / world_area) of the surface parametrization; drives
+    #   ray-cone texture LOD (the duvdx/duvdy analog, interaction.rs:224-385)
 
 
 def empty_triangles():

@@ -85,7 +85,7 @@ def _emission_pickup(scene, lights, cfg, hit, d, prev_p, prev_pdf, prev_spec,
 
 
 def li(scene, o, d, pixel_id, sample_idx, cfg, rr_start=3, return_stats=False,
-      provider=None):
+      provider=None, cone=None):
     lights = scene.lights
     kinds = scene.materials.kinds_present
     shp = pixel_id.shape
@@ -107,6 +107,14 @@ def li(scene, o, d, pixel_id, sample_idx, cfg, rr_start=3, return_stats=False,
     rays_traced = jnp.zeros((), Float)
     occupancy = []
 
+    # pixel ray cone → texture footprint (ray differentials analog;
+    # cameras.cone_start). `cone` = (width0, spread); without a camera
+    # hooked in, fall back to a typical-fov pixel angle.
+    if cone is None:
+        cone = (jnp.zeros((), Float), 0.9 / max(cfg.height, 1))
+    cone_w = jnp.broadcast_to(cone[0], (n,))
+    cone_s = jnp.broadcast_to(cone[1], (n,))
+
     hit = scenemod.intersect(scene, o, d)
     rays_traced = rays_traced + n
 
@@ -121,8 +129,10 @@ def li(scene, o, d, pixel_id, sample_idx, cfg, rr_start=3, return_stats=False,
         active = active & hit.valid & (hit.material_id >= 0)
 
         frame = common.shading_frame(hit, scene)
+        # footprint at the hit: cone diameter × surface uv density
+        fp_uv = (cone_w + cone_s * jnp.where(hit.valid, hit.t, 0.0)) * hit.uv_scale
         lp = matmod.resolve(scene.materials, hit.material_id, hit.uv, hit.p,
-                            scene.textures)
+                            scene.textures, fp=fp_uv)
 
         # --- NEE light half (path.rs:100-126 → integrator.rs:155-195)
         u_sel = flat(sample1(bounce, 5))
@@ -166,6 +176,12 @@ def li(scene, o, d, pixel_id, sample_idx, cfg, rr_start=3, return_stats=False,
         prev_p = hit.p
         prev_pdf = pdf
         prev_spec = spec
+        # cone update: advance the apex to the hit; diffuse/glossy
+        # bounces widen the angular spread (ray-cone approximation of
+        # specular_reflect/transmit differential propagation,
+        # integrator.rs:294-391)
+        cone_w = cone_w + cone_s * jnp.where(hit.valid, hit.t, 0.0)
+        cone_s = jnp.where(spec, cone_s, jnp.maximum(cone_s, 0.2))
         o = vm.offset_ray_origin(hit.p, hit.ng, wi)
         d = wi
         hit = scenemod.intersect(scene, o, d, active=active)
@@ -183,5 +199,10 @@ def li(scene, o, d, pixel_id, sample_idx, cfg, rr_start=3, return_stats=False,
     return L
 
 
-def make_li(cfg, rr_start=3):
-    return lambda scene, o, d, pid, sid: li(scene, o, d, pid, sid, cfg, rr_start)
+def make_li(cfg, rr_start=3, camera=None):
+    cone = None
+    if camera is not None:
+        from ..cameras import cameras as cammod
+        cone = cammod.cone_start(camera)
+    return lambda scene, o, d, pid, sid: li(scene, o, d, pid, sid, cfg, rr_start,
+                                            cone=cone)

@@ -138,10 +138,11 @@ class LaneParams:
     aux: jnp.ndarray
 
 
-def resolve(mats: MaterialTable, mid, uv=None, p=None, textures=None):
+def resolve(mats: MaterialTable, mid, uv=None, p=None, textures=None, fp=None):
     """Gather per-lane parameters for material ids `mid` (N,), applying
     texture lookups where a *_tex id is set (material.rs compute-
-    scattering analog, minus lobe allocation)."""
+    scattering analog, minus lobe allocation). `fp` = per-lane texture
+    footprint in uv units (ray-cone LOD for mipmapped lookups)."""
     mid = jnp.maximum(mid, 0)
     kd = mats.kd[mid]
     ks = mats.ks[mid]
@@ -151,15 +152,17 @@ def resolve(mats: MaterialTable, mid, uv=None, p=None, textures=None):
     sigma = mats.sigma[mid]
     if textures is not None and uv is not None:
         from . import textures as texmod
-        kd = texmod.apply_tex(textures, mats.kd_tex[mid], uv, p, kd)
-        ks = texmod.apply_tex(textures, mats.ks_tex[mid], uv, p, ks)
-        kr = texmod.apply_tex(textures, mats.kr_tex[mid], uv, p, kr)
-        kt = texmod.apply_tex(textures, mats.kt_tex[mid], uv, p, kt)
+        kd = texmod.apply_tex(textures, mats.kd_tex[mid], uv, p, kd, fp=fp)
+        ks = texmod.apply_tex(textures, mats.ks_tex[mid], uv, p, ks, fp=fp)
+        kr = texmod.apply_tex(textures, mats.kr_tex[mid], uv, p, kr, fp=fp)
+        kt = texmod.apply_tex(textures, mats.kt_tex[mid], uv, p, kt, fp=fp)
         rough_rgb = texmod.apply_tex(textures, mats.roughness_tex[mid], uv, p,
-                                     jnp.concatenate([rough, rough[..., :1]], axis=-1))
+                                     jnp.concatenate([rough, rough[..., :1]], axis=-1),
+                                     fp=fp)
         rough = rough_rgb[..., :2]
         sigma = texmod.apply_tex(textures, mats.sigma_tex[mid], uv, p,
-                                 sigma[..., None] * jnp.ones((1, 3), Float))[..., 0]
+                                 sigma[..., None] * jnp.ones((1, 3), Float),
+                                 fp=fp)[..., 0]
     rough_is_zero = jnp.max(rough, axis=-1) < 1e-5
     remap = mats.remap_roughness[mid]
     ax = jnp.where(remap, bxdf.roughness_to_alpha(rough[..., 0]), rough[..., 0])

@@ -230,32 +230,55 @@ def turbulence(p, octaves, omega):
 
 # ------------------------------------------------------------ evaluate
 
-def _image_lookup(tex: TextureTable, slot, uv, level=None):
-    """Trilinear-less (bilinear at level 0 for now) atlas lookup."""
-    atlas = tex.atlas
-    s, l_levels, size = atlas.shape[0], atlas.shape[1], atlas.shape[2]
-    slot = jnp.clip(slot, 0, s - 1)
-    u = uv[..., 0] % 1.0
-    v = uv[..., 1] % 1.0
-    x = u * (size - 1)
-    y = v * (size - 1)
+def _level_bilinear(atlas, slot, level, u, v):
+    """Bilinear lookup at mip `level` (per-lane int). Level l stores the
+    (size >> l) grid upsampled by repeat, so coarse texel (i, j) lives at
+    stored index (i·2^l, j·2^l)."""
+    size = atlas.shape[2]
+    r = jnp.left_shift(jnp.ones_like(level), level)       # 2^level
+    sz = size // jnp.maximum(r, 1)
+    szf = sz.astype(Float)
+    x = u * szf - 0.5
+    y = v * szf - 0.5
     x0 = jnp.floor(x).astype(Int)
     y0 = jnp.floor(y).astype(Int)
-    x1 = jnp.minimum(x0 + 1, size - 1)
-    y1 = jnp.minimum(y0 + 1, size - 1)
     fx = (x - x0.astype(Float))[..., None]
     fy = (y - y0.astype(Float))[..., None]
-    img0 = atlas[slot, 0]
-    c00 = img0[y0, x0]
-    c01 = img0[y0, x1]
-    c10 = img0[y1, x0]
-    c11 = img0[y1, x1]
+    x0w = jnp.mod(x0, sz)                                 # wrap (uv % 1 tiling)
+    x1w = jnp.mod(x0 + 1, sz)
+    y0w = jnp.mod(y0, sz)
+    y1w = jnp.mod(y0 + 1, sz)
+    c00 = atlas[slot, level, y0w * r, x0w * r]
+    c01 = atlas[slot, level, y0w * r, x1w * r]
+    c10 = atlas[slot, level, y1w * r, x0w * r]
+    c11 = atlas[slot, level, y1w * r, x1w * r]
     return (1 - fy) * ((1 - fx) * c00 + fx * c01) + fy * ((1 - fx) * c10 + fx * c11)
 
 
-def evaluate(tex: TextureTable, tid, uv, p, _depth=0):
+def _image_lookup(tex: TextureTable, slot, uv, lod=None):
+    """Mipmapped atlas lookup: bilinear at level 0 when no LOD is given,
+    trilinear between the two bracketing levels otherwise
+    (mipmap.rs:215-232 MIPMap::lookup triangle-filter semantics)."""
+    atlas = tex.atlas
+    s, n_levels = atlas.shape[0], atlas.shape[1]
+    slot = jnp.clip(slot, 0, s - 1)
+    u = uv[..., 0] % 1.0
+    v = uv[..., 1] % 1.0
+    if lod is None:
+        return _level_bilinear(atlas, slot, jnp.zeros_like(slot), u, v)
+    lod = jnp.clip(lod, 0.0, n_levels - 1 - 1e-4)
+    l0 = jnp.floor(lod).astype(Int)
+    fl = (lod - l0.astype(Float))[..., None]
+    c0 = _level_bilinear(atlas, slot, l0, u, v)
+    c1 = _level_bilinear(atlas, slot, jnp.minimum(l0 + 1, n_levels - 1), u, v)
+    return (1.0 - fl) * c0 + fl * c1
+
+
+def evaluate(tex: TextureTable, tid, uv, p, _depth=0, fp=None):
     """Evaluate texture ids `tid` (N,) at uv (N,2) / world p (N,3) →
-    (N, 3). Nested refs resolve one level deep (scale/mix)."""
+    (N, 3). Nested refs resolve one level deep (scale/mix). `fp` is the
+    per-lane filter footprint in (unscaled) uv units — the ray-cone
+    analog of duvdx/duvdy (interaction.rs:224-385) driving mip LOD."""
     t = jnp.maximum(tid, 0)
     kind = tex.kind[t]
     v1 = tex.v1[t]
@@ -326,23 +349,29 @@ def evaluate(tex: TextureTable, tid, uv, p, _depth=0):
             out = jnp.where((kind == TEX_MARBLE)[..., None], col, out)
     if TEX_IMAGE in kp:
         suv = jnp.stack([uv[..., 0] * su, uv[..., 1] * sv], -1)
-        img = _image_lookup(tex, tex.atlas_slot[t], suv)
+        lod = None
+        if fp is not None:
+            # footprint in texels of the base level → mip level
+            size = tex.atlas.shape[2]
+            fp_tex = fp * jnp.maximum(su, sv) * size
+            lod = jnp.log2(jnp.maximum(fp_tex, 1.0))
+        img = _image_lookup(tex, tex.atlas_slot[t], suv, lod=lod)
         out = jnp.where((kind == TEX_IMAGE)[..., None], img, out)
     if _depth == 0 and (TEX_SCALE in kp or TEX_MIX in kp):
-        r1 = evaluate(tex, tex.ref1[t], uv, p, _depth=1)
+        r1 = evaluate(tex, tex.ref1[t], uv, p, _depth=1, fp=fp)
         if TEX_SCALE in kp:
             out = jnp.where((kind == TEX_SCALE)[..., None], r1 * v1, out)
         if TEX_MIX in kp:
-            r2 = evaluate(tex, tex.ref2[t], uv, p, _depth=1)
+            r2 = evaluate(tex, tex.ref2[t], uv, p, _depth=1, fp=fp)
             amt = tex.scale[t][..., None]
             out = jnp.where((kind == TEX_MIX)[..., None],
                             (1.0 - amt) * r1 + amt * r2, out)
     return out
 
 
-def apply_tex(tex: TextureTable, tid, uv, p, base):
+def apply_tex(tex: TextureTable, tid, uv, p, base, fp=None):
     """base where tid < 0, texture value otherwise (material hook)."""
     if tex is None:
         return base
-    val = evaluate(tex, tid, uv, p)
+    val = evaluate(tex, tid, uv, p, fp=fp)
     return jnp.where((tid >= 0)[..., None], val, base)

@@ -14,9 +14,28 @@ from pbrt_tpu.core import transform as tf
 from pbrt_tpu.geom.meshio import bench_blob, read_ply
 
 
-def mesh_scene(subdivisions=6, ply=None, use_bvh=True, metal_blob=False):
+def _wood_image(size=512):
+    """Procedural plank image baked to a texture — gives the bench real
+    mipmapped texture gathers (BASELINE config 3 'textured materials')."""
+    y, x = np.mgrid[0:size, 0:size].astype(np.float32) / size
+    rings = 0.5 + 0.5 * np.sin((x * 9.0 + 0.35 * np.sin(y * 23.0)) * np.pi * 2.0)
+    planks = (np.floor(y * 8.0) % 2.0)
+    base = np.stack([0.45 + 0.25 * rings, 0.28 + 0.16 * rings,
+                     0.14 + 0.08 * rings], axis=-1)
+    return (base * (0.8 + 0.2 * planks[..., None])).astype(np.float32)
+
+
+def mesh_scene(subdivisions=6, ply=None, use_bvh=True, metal_blob=False,
+               textured=True):
     b = SceneBuilder()
     white = b.matte(kd=(0.73, 0.73, 0.73))
+    if textured:
+        wood = b.textures.image(_wood_image(), su=3.0, sv=3.0)
+        import pbrt_tpu.shade.materials as _mm
+        floor_mat = b.material(kind=_mm.MAT_MATTE, kd=(1.0, 1.0, 1.0),
+                               kd_tex=wood, sigma=0.0)
+    else:
+        floor_mat = white
     if metal_blob:
         blob_mat = b.metal(roughness=0.05)
     else:
@@ -36,7 +55,7 @@ def mesh_scene(subdivisions=6, ply=None, use_bvh=True, metal_blob=False):
     b.add_mesh(v, f, blob_mat, normals=vn)
 
     s = 1.0
-    b.add_quad([0, 0, 0], [s, 0, 0], [s, 0, -s], [0, 0, -s], white)     # floor
+    b.add_quad([0, 0, 0], [s, 0, 0], [s, 0, -s], [0, 0, -s], floor_mat)  # floor
     b.add_quad([0, s, 0], [0, s, -s], [s, s, -s], [s, s, 0], white)     # ceiling
     b.add_quad([0, 0, -s], [s, 0, -s], [s, s, -s], [0, s, -s], white)   # back
     e, c, y = 0.25, s / 2, s - 1e-3
