@@ -34,6 +34,8 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -99,33 +101,91 @@ class ClusterSet(NamedTuple):
         return self.packed.shape[2]
 
 
+def _treelet_groups(rp, nn, t, k):
+    """Cut the depth-first BVH into contiguous prim ranges, each a pack
+    of whole subtrees with ≤ k prims — the cluster analog of BVH
+    treelets. Node layout (geom/bvh.py): left child = i+1, interior
+    right child = rp[i], leaf prim offset = rp[i] with nn[i] > 0.
+    Returns [(start, count)] covering [0, t) in DFS prim order."""
+    m = len(nn)
+    count = np.zeros(m, np.int64)
+    start = np.zeros(m, np.int64)
+    for i in range(m - 1, -1, -1):      # children have larger indices
+        if nn[i] > 0:
+            count[i] = nn[i]
+            start[i] = rp[i]
+        else:
+            count[i] = count[i + 1] + count[rp[i]]
+            start[i] = start[i + 1]
+    # maximal subtrees with ≤ k prims, in DFS (= prim) order
+    units = []
+    stack = [0]
+    while stack:
+        i = stack.pop()
+        if nn[i] > 0 or count[i] <= k:
+            units.append((int(start[i]), int(count[i])))
+        else:
+            stack.append(int(rp[i]))    # right pushed first →
+            stack.append(i + 1)         # left popped first (DFS order)
+    # greedy pack of consecutive units (contiguous in prim space)
+    groups = []
+    cur_s, cur_c = units[0]
+    for s, cnt in units[1:]:
+        if cur_c + cnt <= k:
+            cur_c += cnt
+        else:
+            groups.append((cur_s, cur_c))
+            cur_s, cur_c = s, cnt
+    groups.append((cur_s, cur_c))
+    assert sum(c for _, c in groups) == t
+    return groups
+
+
 def build_clusters(positions, indices, prim_order=None, k=128):
-    """Group triangles into K-sized clusters following `prim_order`
-    (SAH depth-first order → spatial coherence). Host-side numpy."""
+    """Group triangles into K-sized spatially-tight clusters: the SAH
+    BVH is cut at subtree boundaries (treelets, ≤ k prims each) and
+    consecutive treelets are packed into clusters — much tighter AABBs
+    than arbitrary K-chunks of the depth-first order, which straddle
+    subtree boundaries (the wavefront analog of interior BVH nodes,
+    bvh.rs:840-874). Host-side numpy; per-cluster padding slots carry
+    degenerate triangles (zero normal ⇒ never hit)."""
     positions = np.asarray(positions, np.float32)
     indices = np.asarray(indices, np.int32).reshape(-1, 3)
     t = len(indices)
+    groups = None
     if prim_order is None:
         from . import native_build
-        p0 = positions[indices[:, 0]]
-        p1 = positions[indices[:, 1]]
-        p2 = positions[indices[:, 2]]
-        pmin = np.minimum(np.minimum(p0, p1), p2)
-        pmax = np.maximum(np.maximum(p0, p1), p2)
+        pa = positions[indices[:, 0]]
+        pb = positions[indices[:, 1]]
+        pc = positions[indices[:, 2]]
+        pmin = np.minimum(np.minimum(pa, pb), pc)
+        pmax = np.maximum(np.maximum(pa, pb), pc)
         res = native_build.build_bvh_native(pmin, pmax, 4, "sah")
-        prim_order = res[5] if res is not None else np.arange(t, dtype=np.int32)
+        if res is not None:
+            prim_order = res[5]
+            groups = _treelet_groups(res[2], res[3], t, k)
+        else:
+            prim_order = np.arange(t, dtype=np.int32)
     prim_order = np.asarray(prim_order, np.int32)
-    c = (t + k - 1) // k
-    pad = c * k - t
-    order = np.concatenate([prim_order, np.zeros(pad, np.int32)])
+    if groups is None:
+        groups = [(s, min(k, t - s)) for s in range(0, t, k)]
+    c = len(groups)
+    # per-cluster slot table into prim_order; pads repeat the first slot
+    slots = np.zeros((c, k), np.int64)
+    valid = np.zeros((c, k), bool)
+    for ci, (s, cnt) in enumerate(groups):
+        slots[ci, :cnt] = np.arange(s, s + cnt)
+        slots[ci, cnt:] = s
+        valid[ci, :cnt] = True
+    order = prim_order[slots.reshape(-1)]           # (c*k,) global tri ids
+    valid = valid.reshape(-1)
     idx = indices[order]
     p0 = positions[idx[:, 0]].astype(np.float64)
     p1 = positions[idx[:, 1]].astype(np.float64)
     p2 = positions[idx[:, 2]].astype(np.float64)
-    if pad:
-        # degenerate padding (p0=p1=p2 ⇒ zero normal ⇒ never hit)
-        p1[t:] = p0[t:]
-        p2[t:] = p0[t:]
+    # degenerate padding (p0=p1=p2 ⇒ zero normal ⇒ never hit)
+    p1[~valid] = p0[~valid]
+    p2[~valid] = p0[~valid]
 
     def edge(a, b):
         return np.cross(a, b), b - a          # (U, V)
@@ -451,6 +511,13 @@ def _pallas_inputs(cs, comp, os_, ds_, interpret=False):
     # kernel's last partial round still DMAs them, so point them at a
     # real cluster (redundant exact tests are harmless).
     corder = jnp.minimum(corder, c - 1)
+    cmax = int(os.environ.get("PBRT_TPU_CMAX", 0))
+    if cmax and cmax < corder.shape[1]:
+        # timing probe / coverage cap: only the nearest cmax clusters
+        # per tile are traversed (may miss hits on overflow tiles)
+        corder = corder[:, :cmax]
+        tnear_sorted = tnear_sorted[:, :cmax]
+        counts = jnp.minimum(counts, cmax)
     return planes, corder, tnear_sorted, counts
 
 

@@ -66,9 +66,25 @@ from ..core.types import INF
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-CH = 8          # clusters fetched per round
+CH = int(os.environ.get("PBRT_TPU_CH", 8))   # clusters fetched per round
 SLOT_MASK = 2047
 _EPS = 1e-12
+
+
+def _same_sign(w0, w1, w2):
+    """Plücker volume sign-consistency via pairwise products — 8 VPU ops
+    vs 11 for the six-comparison form, identical truth table (zeros
+    count as matching either sign; the all-zero degenerate-padding case
+    is filtered by the |n·d| test)."""
+    return (w0 * w1 >= 0) & (w1 * w2 >= 0) & (w0 * w2 >= 0)
+
+
+def _recip(x, approx):
+    """Reciprocal — approximate (fast VPU op) on real TPU, exact in
+    interpret mode and wherever exactness is required."""
+    if approx:
+        return pl.reciprocal(x, approx=True)
+    return 1.0 / x
 
 # MXU precision for the Plücker/slab matmuls. "highest" = 6 bf16 passes
 # (exact f32); "bf16x3" = 3-pass split-float (hi/lo bf16, dropping only
@@ -226,7 +242,7 @@ def coverage_tiles(planes, cov_mxu, n_clusters, interpret=False):
 
 # ------------------------------------------------------------ traversal
 
-def _make_closest_kernel(tile, k):
+def _make_closest_kernel(tile, k, approx=True):
     chk = CH * k
 
     def kernel(*refs):
@@ -244,8 +260,12 @@ def _make_closest_kernel(tile, k):
         def _():
             _start_round(corder_ref, packed_ref, scratch, sems, 0, 0)
 
-        def body(r, carry):
-            t_best, best_slot, tb12, done = carry
+        def cond(carry):
+            r, t_best, best_slot, tb12, done = carry
+            return (r < n_rounds) & ~done
+
+        def body(carry):
+            r, t_best, best_slot, tb12, done = carry
             cur = r % 2
 
             @pl.when(r + 1 < n_rounds)
@@ -257,10 +277,11 @@ def _make_closest_kernel(tile, k):
             def compute(args):
                 t_best, best_slot, tb12 = args
                 w0, w1, w2, nd, tnum = _round_planes(L_T, scratch[cur], k)
-                same = ((w0 >= 0) & (w1 >= 0) & (w2 >= 0)) | \
-                       ((w0 <= 0) & (w1 <= 0) & (w2 <= 0))
+                same = _same_sign(w0, w1, w2)
                 ndok = jnp.abs(nd) > _EPS
-                t = tnum / jnp.where(ndok, nd, _EPS)
+                # approximate reciprocal for the per-slot t (the winner's
+                # exact t is recovered by one true division in `extract`)
+                t = tnum * _recip(jnp.where(ndok, nd, _EPS), approx)
                 ok = same & ndok & (t > tmin) & (t < t_best)
                 t = jnp.where(ok, t, INF)
                 # pack (t, slot) into one int key: a single min-reduce
@@ -284,7 +305,10 @@ def _make_closest_kernel(tile, k):
                     sel = (slot_iota == (kmin & SLOT_MASK)) & (t < INF)
                     selw = lambda a: jnp.sum(jnp.where(sel, a, 0.0), axis=0,
                                              keepdims=True)
-                    s_t = selw(t)
+                    # exact plane t for the winner: one true division on
+                    # the (1, TILE) row (the per-slot t above is approx)
+                    s_nd = selw(nd)
+                    s_t = selw(tnum) / jnp.where(jnp.abs(s_nd) > _EPS, s_nd, _EPS)
                     s_w0 = selw(w0)
                     s_w1 = selw(w1)
                     s_w2 = selw(w2)
@@ -299,19 +323,24 @@ def _make_closest_kernel(tile, k):
                 t_best = jnp.where(upd, tj, t_best)
                 return t_best, best_slot, tb12
 
-            t_best, best_slot, tb12 = jax.lax.cond(
-                done, lambda args: args, compute, (t_best, best_slot, tb12))
+            t_best, best_slot, tb12 = compute((t_best, best_slot, tb12))
             # ordered-entry-t pruning: clusters arrive sorted by entry
             # t, so once the next round's nearest entry exceeds every
             # lane's best hit no later cluster can improve any lane.
             nxt = jnp.minimum((r + 1) * CH, cpad - 1)
-            done = done | (tnear_ref[0, 0, nxt] >= jnp.max(t_best))
-            return t_best, best_slot, tb12, done
+            done = tnear_ref[0, 0, nxt] >= jnp.max(t_best)
+            return r + 1, t_best, best_slot, tb12, done
 
-        init = (tmax, jnp.full((1, tile), -1, jnp.int32),
+        init = (jnp.zeros((), jnp.int32), tmax,
+                jnp.full((1, tile), -1, jnp.int32),
                 jnp.concatenate([tmax, jnp.zeros((2, tile), jnp.float32)], axis=0),
                 jnp.zeros((), jnp.bool_))
-        t_best, best_slot, tb12, _ = jax.lax.fori_loop(0, n_rounds, body, init)
+        r_end, t_best, best_slot, tb12, _ = jax.lax.while_loop(cond, body, init)
+
+        # drain: an early exit leaves round r_end's DMA in flight
+        @pl.when(r_end < n_rounds)
+        def _():
+            _wait_round(packed_ref, scratch, sems, r_end % 2)
         t_out[0, :, :] = tb12[0:1, :]
         slot_out[0, :, :] = best_slot
         bary_out[0, :, :] = tb12[1:3, :]
@@ -319,7 +348,7 @@ def _make_closest_kernel(tile, k):
     return kernel
 
 
-def _make_anyhit_kernel(tile, k):
+def _make_anyhit_kernel(tile, k, approx=True):
     def kernel(*refs):
         counts_ref, corder_ref, tnear_ref = refs[:3]
         plane_refs, packed_ref = refs[3:11], refs[11]
@@ -334,8 +363,12 @@ def _make_anyhit_kernel(tile, k):
         def _():
             _start_round(corder_ref, packed_ref, scratch, sems, 0, 0)
 
-        def body(r, carry):
-            occ, done = carry
+        def cond(carry):
+            r, occ, done = carry
+            return (r < n_rounds) & ~done
+
+        def body(carry):
+            r, occ, done = carry
             cur = r % 2
 
             @pl.when(r + 1 < n_rounds)
@@ -344,24 +377,24 @@ def _make_anyhit_kernel(tile, k):
                              r + 1, 1 - cur)
             _wait_round(packed_ref, scratch, sems, cur)
 
-            def compute(occ):
-                w0, w1, w2, nd, tnum = _round_planes(L_T, scratch[cur], k)
-                same = ((w0 >= 0) & (w1 >= 0) & (w2 >= 0)) | \
-                       ((w0 <= 0) & (w1 <= 0) & (w2 <= 0))
-                ndok = jnp.abs(nd) > _EPS
-                t = tnum / jnp.where(ndok, nd, _EPS)
-                ok = same & ndok & (t > tmin) & (t < tmax)
-                # occ carried as i32: Mosaic can't legalize (1, TILE)
-                # i1 vectors as fori_loop carries.
-                return occ | jnp.any(ok, axis=0,
-                                     keepdims=True).astype(jnp.int32)
-
-            occ = jax.lax.cond(done, lambda o: o, compute, occ)
+            w0, w1, w2, nd, tnum = _round_planes(L_T, scratch[cur], k)
+            same = _same_sign(w0, w1, w2)
+            ndok = jnp.abs(nd) > _EPS
+            t = tnum * _recip(jnp.where(ndok, nd, _EPS), approx)
+            ok = same & ndok & (t > tmin) & (t < tmax)
+            # occ carried as i32: Mosaic can't legalize (1, TILE)
+            # i1 vectors as while_loop carries.
+            occ = occ | jnp.any(ok, axis=0, keepdims=True).astype(jnp.int32)
             done = jnp.all((occ != 0) | ~live)
-            return occ, done
+            return r + 1, occ, done
 
-        init = (jnp.zeros((1, tile), jnp.int32), jnp.zeros((), jnp.bool_))
-        occ, _ = jax.lax.fori_loop(0, n_rounds, body, init)
+        init = (jnp.zeros((), jnp.int32), jnp.zeros((1, tile), jnp.int32),
+                jnp.zeros((), jnp.bool_))
+        r_end, occ, _ = jax.lax.while_loop(cond, body, init)
+
+        @pl.when(r_end < n_rounds)
+        def _():
+            _wait_round(packed_ref, scratch, sems, r_end % 2)
         occ_out[0, :, :] = occ
 
     return kernel
@@ -370,9 +403,11 @@ def _make_anyhit_kernel(tile, k):
 def _common_specs(nt, tile, cpad, out_widths):
     """(in_specs, out_specs) for the traversal kernels.
 
-    counts/corder/tnear ride as per-tile SMEM blocks: whole-array
-    scalar prefetch would need nt*cpad*8 bytes of SMEM (~1.3 MB at
-    256 tiles x 644 clusters) and overflows it."""
+    counts rides in SMEM (one scalar); corder/tnear are per-tile VMEM
+    blocks — streaming kilobytes per tile through SMEM serialises on the
+    scalar core and dominated the per-tile cost (profiled r3); the few
+    scalar reads per round (cluster ids for DMA, the pruning tnear) come
+    out of VMEM instead."""
     # 3-D with singleton middle axis: the TPU block rule wants the last
     # two block dims divisible by (8, 128) OR equal to the array dims —
     # (1, cpad) blocks of an (nt, 1, cpad) array satisfy the latter.
@@ -399,10 +434,11 @@ def traverse_tiles(packed_mxu, planes, corder, tnear, counts, interpret=False):
     bary (nt, 2, TILE) f32)."""
     nt, _, tile = planes[0].shape
     c, nf, nb, k = packed_mxu.shape
+    assert CH * k <= SLOT_MASK + 1, "slot index must fit the packed key"
     cpad = corder.shape[1]
     in_specs, out_specs = _common_specs(nt, tile, cpad, (1, 1, 2))
     t_b, slot, bary = pl.pallas_call(
-        _make_closest_kernel(tile, k),
+        _make_closest_kernel(tile, k, approx=not interpret),
         grid=(nt,), in_specs=in_specs, out_specs=out_specs,
         out_shape=[jax.ShapeDtypeStruct((nt, 1, tile), jnp.float32),
                    jax.ShapeDtypeStruct((nt, 1, tile), jnp.int32),
@@ -425,7 +461,7 @@ def occluded_tiles(packed_mxu, planes, corder, tnear, counts, interpret=False):
     cpad = corder.shape[1]
     in_specs, out_specs = _common_specs(nt, tile, cpad, (1,))
     occ = pl.pallas_call(
-        _make_anyhit_kernel(tile, k),
+        _make_anyhit_kernel(tile, k, approx=not interpret),
         grid=(nt,), in_specs=in_specs, out_specs=out_specs,
         out_shape=[jax.ShapeDtypeStruct((nt, 1, tile), jnp.int32)],
         scratch_shapes=[
