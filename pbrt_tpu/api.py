@@ -83,6 +83,27 @@ class SceneBuilder:
     def translucent(self, kd=0.25, reflect=0.5, transmit=0.5):
         return self.material(kind=matmod.MAT_TRANSLUCENT, kd=kd, kr=reflect, kt=transmit)
 
+    def fourier(self, bsdf_file=None, table=None):
+        """Measured FourierBSDF material (reflection.rs:1282-1300): pass
+        a PBRT-v3 .bsdf path or a prebuilt shade.fourier.FourierTable."""
+        if table is None:
+            from .shade.fourier import load_bsdf_file
+            table = load_bsdf_file(bsdf_file)
+        return self.material(kind=matmod.MAT_FOURIER, fourier_table=table)
+
+    def subsurface(self, sigma_a=(0.0011, 0.0024, 0.014), sigma_s=(2.55, 3.21, 3.77),
+                   g=0.0, eta=1.33, scale=1.0, roughness=0.0, remap=True):
+        """Tabulated-BSSRDF subsurface material (bssrdf.rs:324-493 +
+        path.rs:154-198 probe-ray transport; defaults ≈ skim milk)."""
+        aux = list(np.broadcast_to(np.asarray(sigma_a, np.float32), (3,))) \
+            + list(np.broadcast_to(np.asarray(sigma_s, np.float32), (3,))) \
+            + [g, scale]
+        # kr/kt = 1: the dielectric interface lobes weight by Fresnel
+        # internally (the entry (1-Fr) of S; bssrdf.rs:60-130)
+        return self.material(kind=matmod.MAT_SUBSURFACE, eta=eta, aux=aux,
+                             kr=1.0, kt=1.0,
+                             roughness=(roughness, roughness), remap_roughness=remap)
+
     # ---- geometry ------------------------------------------------------
     def add_mesh(self, vertices, indices, material, normals=None, uvs=None, light=-1):
         """vertices (V,3), indices (T,3). Returns global tri index range."""

@@ -172,6 +172,37 @@ def li(scene, o, d, pixel_id, sample_idx, cfg, rr_start=3, return_stats=False,
                              beta / jnp.maximum(1.0 - q, 1e-6)[..., None], beta)
             active = active & survive
 
+        # --- subsurface leg (path.rs:154-198): transmission events on
+        # MAT_SUBSURFACE lanes re-emerge at a profile-sampled exit point
+        # (statically gated — scenes without subsurface skip all of it)
+        sss_state = None
+        if matmod.MAT_SUBSURFACE in kinds:
+            from . import path_sss
+            is_sss = active & (lp.kind == matmod.MAT_SUBSURFACE) & trans
+            exit_hit, sp_w, ok_sss, eta_sss = path_sss.sample_exit(
+                scene, hit, frame,
+                flat(sample1(bounce, 0 + path_sss.DIM_SSS)),
+                flat(sample1(bounce, 1 + path_sss.DIM_SSS)),
+                flat(sample1(bounce, 2 + path_sss.DIM_SSS)),
+                flat(sample1(bounce, 3 + path_sss.DIM_SSS)), is_sss)
+            active = active & (~is_sss | ok_sss)
+            beta = jnp.where(ok_sss[..., None], beta * sp_w, beta)
+            # NEE at the exit point with the Sw lobe (+ its own shadow ray)
+            u_sel2 = flat(sample1(bounce, 4 + path_sss.DIM_SSS))
+            lt2, pmf2 = common.select_light(scene, cfg.light_strategy,
+                                            exit_hit.p, u_sel2)
+            u_light2 = flat(sample2(bounce, 5 + path_sss.DIM_SSS))
+            ld_sss = path_sss.sw_nee(scene, lights, exit_hit, eta_sss, lt2,
+                                     u_light2, ok_sss)
+            L = L + jnp.where(ok_sss[..., None],
+                              beta * ld_sss / jnp.maximum(pmf2, 1e-12)[..., None],
+                              0.0)
+            # cosine continuation through Sw
+            wi_sss, w_sw, pdf_cos = path_sss.sw_sample(
+                exit_hit, eta_sss, flat(sample2(bounce, 7 + path_sss.DIM_SSS)))
+            beta = jnp.where(ok_sss[..., None], beta * w_sw[..., None], beta)
+            sss_state = (ok_sss, exit_hit, wi_sss, pdf_cos)
+
         # --- extension ray = the same BSDF sample, traced closest-hit
         prev_p = hit.p
         prev_pdf = pdf
@@ -184,6 +215,14 @@ def li(scene, o, d, pixel_id, sample_idx, cfg, rr_start=3, return_stats=False,
         cone_s = jnp.where(spec, cone_s, jnp.maximum(cone_s, 0.2))
         o = vm.offset_ray_origin(hit.p, hit.ng, wi)
         d = wi
+        if sss_state is not None:
+            ok_sss, exit_hit, wi_sss, pdf_cos = sss_state
+            m3 = ok_sss[..., None]
+            o = jnp.where(m3, vm.offset_ray_origin(exit_hit.p, exit_hit.ns, wi_sss), o)
+            d = jnp.where(m3, wi_sss, d)
+            prev_p = jnp.where(m3, exit_hit.p, prev_p)
+            prev_pdf = jnp.where(ok_sss, pdf_cos, prev_pdf)
+            prev_spec = jnp.where(ok_sss, False, prev_spec)
         hit = scenemod.intersect(scene, o, d, active=active)
         rays_traced = rays_traced + jnp.sum(active.astype(Float))
 

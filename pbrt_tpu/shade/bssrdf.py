@@ -174,9 +174,12 @@ def sr(table: BSSRDFTable, sigma_t, rho, r):
     out = []
     for c in range(3):
         val = lookup(rho[..., c], r_opt[..., c])
-        # cancel the 2πr·σt² change of variables (bssrdf.rs Sr math)
+        # cancel the 2π·r_optical change of variables, then scale the
+        # unitless profile to world area by σt² (bssrdf.rs Sr math:
+        # sr /= 2π·rOptical; sr *= σt²) — the OPTICAL radius divides,
+        # so ∫ Sr(r)·2πr dr = ∫ P dr_opt = rho_eff, dimensionless.
         val = val * sigma_t[..., c] * sigma_t[..., c] / jnp.maximum(
-            2.0 * PI * jnp.maximum(r_opt[..., c] / jnp.maximum(sigma_t[..., c], 1e-9), 1e-6), 1e-9)
+            2.0 * PI * jnp.maximum(r_opt[..., c], 1e-6), 1e-9)
         out.append(val)
     return jnp.stack(out, axis=-1)
 

@@ -14,8 +14,9 @@ cap m_max (smooth materials need few orders).
 from __future__ import annotations
 
 import struct
-from typing import NamedTuple
+from dataclasses import dataclass, field
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -25,12 +26,15 @@ from ..core import vecmath as vm
 from . import bxdf
 
 
-class FourierTable(NamedTuple):
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class FourierTable:
     mu: jnp.ndarray        # (n,) zenith cosines (sorted)
     a: jnp.ndarray         # (n, n, 3, m_max) dense coefficients (Y, R, B)
     m: jnp.ndarray         # (n, n) active orders
-    eta: float
-    m_max: int
+    # static: shape-determining / python-control-flow values
+    eta: float = field(metadata=dict(static=True), default=1.0)
+    m_max: int = field(metadata=dict(static=True), default=1)
 
 
 def load_bsdf_file(path, m_cap=64):
@@ -136,9 +140,10 @@ def fourier_sample(table: FourierTable, wo, u2):
     matching pdf (PBRT's exact inverse-CDF sampling of μi is a further
     optimisation; this estimator is unbiased)."""
     from ..core.sampling import cosine_sample_hemisphere
-    wi = cosine_sample_hemisphere(u2)
-    # reflection side of wo
-    wi = jnp.where((wo[..., 2] > 0.0)[..., None],
+    wi = cosine_sample_hemisphere(u2)      # +z hemisphere
+    # reflection side = SAME hemisphere as wo (muI·muO < 0 in the
+    # table's negated-muI convention, reflection.rs FourierBSDF::f)
+    wi = jnp.where((wo[..., 2] < 0.0)[..., None],
                    wi * jnp.array([1.0, 1.0, -1.0], Float), wi)
     f = fourier_f(table, wo, wi)
     pdf = jnp.abs(wi[..., 2]) * INV_PI

@@ -47,6 +47,7 @@ MAT_DISNEY = 8
 MAT_MIX = 9
 MAT_SUBSURFACE = 10
 MAT_HAIR = 11
+MAT_FOURIER = 12
 
 _SPECULAR_KINDS = (MAT_GLASS, MAT_MIRROR, MAT_UBER)  # may sample delta lobes
 
@@ -78,6 +79,16 @@ class MaterialTable:
     aux: jnp.ndarray             # (M, 8)
     kinds_present: tuple = field(metadata=dict(static=True), default=())
     has_bump: bool = field(metadata=dict(static=True), default=False)
+    # channels with ANY texture id >= 0 — static, so `resolve` skips the
+    # texture evaluation (incl. its atlas gathers) for untextured
+    # channels entirely instead of masking it out after the fact
+    tex_channels: tuple = field(metadata=dict(static=True), default=())
+    # beam-diffusion BSSRDF profile (shade/bssrdf.BSSRDFTable) when the
+    # scene has MAT_SUBSURFACE rows; None otherwise
+    sss_table: Any = None
+    # shade/fourier.FourierTable when the scene has MAT_FOURIER rows
+    # (reflection.rs:1282-1300; one measured table per scene)
+    fourier_table: Any = None
 
     @property
     def count(self):
@@ -100,6 +111,19 @@ def build_materials(rows):
         return jnp.asarray(np.array([r.get(key, default) for r in rows], np.int32))
 
     kinds = tuple(sorted({int(r["kind"]) for r in rows})) if rows else ()
+    tex_channels = tuple(ch for ch in ("kd", "ks", "kr", "kt", "roughness", "sigma")
+                         if any(r.get(ch + "_tex", -1) >= 0 for r in rows))
+    fourier_table = None
+    for r in rows:
+        if int(r["kind"]) == MAT_FOURIER:
+            fourier_table = r.get("fourier_table")
+    sss_table = None
+    if MAT_SUBSURFACE in kinds:
+        from . import bssrdf as bssr
+        sss_rows = [r for r in rows if int(r["kind"]) == MAT_SUBSURFACE]
+        g = float(sss_rows[0].get("aux", [0.0] * 8)[6]) if sss_rows else 0.0
+        eta = float(sss_rows[0].get("eta", 1.33))
+        sss_table = bssr.compute_beam_diffusion_table(g=g, eta=eta)
     return MaterialTable(
         kind=icol("kind", MAT_MATTE),
         kd=col("kd", 0.5, (3,)), ks=col("ks", 0.0, (3,)),
@@ -115,6 +139,9 @@ def build_materials(rows):
         aux=col("aux", 0.0, (8,)),
         kinds_present=kinds,
         has_bump=any(r.get("bump_tex", -1) >= 0 for r in rows),
+        tex_channels=tex_channels,
+        sss_table=sss_table,
+        fourier_table=fourier_table,
     )
 
 
@@ -136,6 +163,7 @@ class LaneParams:
     opacity: jnp.ndarray
     rough_is_zero: jnp.ndarray
     aux: jnp.ndarray
+    fourier: Any = None          # shade.fourier.FourierTable (MAT_FOURIER)
 
 
 def resolve(mats: MaterialTable, mid, uv=None, p=None, textures=None, fp=None):
@@ -152,17 +180,25 @@ def resolve(mats: MaterialTable, mid, uv=None, p=None, textures=None, fp=None):
     sigma = mats.sigma[mid]
     if textures is not None and uv is not None:
         from . import textures as texmod
-        kd = texmod.apply_tex(textures, mats.kd_tex[mid], uv, p, kd, fp=fp)
-        ks = texmod.apply_tex(textures, mats.ks_tex[mid], uv, p, ks, fp=fp)
-        kr = texmod.apply_tex(textures, mats.kr_tex[mid], uv, p, kr, fp=fp)
-        kt = texmod.apply_tex(textures, mats.kt_tex[mid], uv, p, kt, fp=fp)
-        rough_rgb = texmod.apply_tex(textures, mats.roughness_tex[mid], uv, p,
-                                     jnp.concatenate([rough, rough[..., :1]], axis=-1),
-                                     fp=fp)
-        rough = rough_rgb[..., :2]
-        sigma = texmod.apply_tex(textures, mats.sigma_tex[mid], uv, p,
-                                 sigma[..., None] * jnp.ones((1, 3), Float),
-                                 fp=fp)[..., 0]
+        ch = mats.tex_channels     # static: untextured channels skip the
+        #                            evaluation (and its atlas gathers)
+        if "kd" in ch:
+            kd = texmod.apply_tex(textures, mats.kd_tex[mid], uv, p, kd, fp=fp)
+        if "ks" in ch:
+            ks = texmod.apply_tex(textures, mats.ks_tex[mid], uv, p, ks, fp=fp)
+        if "kr" in ch:
+            kr = texmod.apply_tex(textures, mats.kr_tex[mid], uv, p, kr, fp=fp)
+        if "kt" in ch:
+            kt = texmod.apply_tex(textures, mats.kt_tex[mid], uv, p, kt, fp=fp)
+        if "roughness" in ch:
+            rough_rgb = texmod.apply_tex(textures, mats.roughness_tex[mid], uv, p,
+                                         jnp.concatenate([rough, rough[..., :1]], axis=-1),
+                                         fp=fp)
+            rough = rough_rgb[..., :2]
+        if "sigma" in ch:
+            sigma = texmod.apply_tex(textures, mats.sigma_tex[mid], uv, p,
+                                     sigma[..., None] * jnp.ones((1, 3), Float),
+                                     fp=fp)[..., 0]
     rough_is_zero = jnp.max(rough, axis=-1) < 1e-5
     remap = mats.remap_roughness[mid]
     ax = jnp.where(remap, bxdf.roughness_to_alpha(rough[..., 0]), rough[..., 0])
@@ -172,7 +208,8 @@ def resolve(mats: MaterialTable, mid, uv=None, p=None, textures=None, fp=None):
         ax=ax, ay=ay, eta=mats.eta[mid],
         metal_eta=mats.metal_eta[mid], metal_k=mats.metal_k[mid],
         sigma=sigma, opacity=mats.opacity[mid],
-        rough_is_zero=rough_is_zero, aux=mats.aux[mid])
+        rough_is_zero=rough_is_zero, aux=mats.aux[mid],
+        fourier=mats.fourier_table)
 
 
 # ------------------------------------------------------------- dispatch
@@ -415,19 +452,40 @@ _SUBSURF_PDF = _glass_pdf
 _SUBSURF_SAMPLE = _glass_sample
 
 
+def _fourier_f(lp, wo, wi):
+    from . import fourier as fouriermod
+    return fouriermod.fourier_f(lp.fourier, wo, wi)
+
+
+def _fourier_pdf(lp, wo, wi):
+    # cosine-hemisphere sampling on wo's reflection side (fourier.py)
+    same = bxdf.same_hemisphere(wo, wi)
+    return jnp.where(same, jnp.abs(wi[..., 2]) * INV_PI, 0.0)
+
+
+def _fourier_sample(lp, wo, u_lobe, u2):
+    from . import fourier as fouriermod
+    wi, f, pdf = fouriermod.fourier_sample(lp.fourier, wo, u2)
+    trans = ~bxdf.same_hemisphere(wo, wi)
+    return wi, f, pdf, jnp.zeros(pdf.shape, bool), trans
+
+
 _F_FNS = {MAT_MATTE: _matte_f, MAT_PLASTIC: _plastic_f, MAT_GLASS: _glass_f,
           MAT_METAL: _metal_f, MAT_MIRROR: lambda lp, wo, wi: jnp.zeros(wo.shape, Float),
           MAT_SUBSTRATE: _substrate_f, MAT_TRANSLUCENT: _translucent_f, MAT_UBER: _uber_f,
-          MAT_DISNEY: _disney_f, MAT_SUBSURFACE: _SUBSURF_F, MAT_HAIR: _hair_f}
+          MAT_DISNEY: _disney_f, MAT_SUBSURFACE: _SUBSURF_F, MAT_HAIR: _hair_f,
+          MAT_FOURIER: _fourier_f}
 _PDF_FNS = {MAT_MATTE: _matte_pdf, MAT_PLASTIC: _plastic_pdf, MAT_GLASS: _glass_pdf,
             MAT_METAL: _metal_pdf, MAT_MIRROR: lambda lp, wo, wi: jnp.zeros(wo.shape[:-1], Float),
             MAT_SUBSTRATE: _substrate_pdf, MAT_TRANSLUCENT: _translucent_pdf, MAT_UBER: _uber_pdf,
-            MAT_DISNEY: _disney_pdf, MAT_SUBSURFACE: _SUBSURF_PDF, MAT_HAIR: _hair_pdf}
+            MAT_DISNEY: _disney_pdf, MAT_SUBSURFACE: _SUBSURF_PDF, MAT_HAIR: _hair_pdf,
+            MAT_FOURIER: _fourier_pdf}
 _SAMPLE_FNS = {MAT_MATTE: _matte_sample, MAT_PLASTIC: _plastic_sample, MAT_GLASS: _glass_sample,
                MAT_METAL: _metal_sample, MAT_MIRROR: _mirror_sample,
                MAT_SUBSTRATE: _substrate_sample, MAT_TRANSLUCENT: _translucent_sample,
                MAT_UBER: _uber_sample, MAT_DISNEY: _disney_sample,
-               MAT_SUBSURFACE: _SUBSURF_SAMPLE, MAT_HAIR: _hair_sample}
+               MAT_SUBSURFACE: _SUBSURF_SAMPLE, MAT_HAIR: _hair_sample,
+               MAT_FOURIER: _fourier_sample}
 
 
 def _mix_sub_params(mats, lp, which):
