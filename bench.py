@@ -33,7 +33,8 @@ def main():
     n_iters = int(os.environ.get("BENCH_ITERS", 3))
     depth = 5
 
-    scene = mesh_scene(subdivisions=6, use_bvh=True)
+    scene = mesh_scene(subdivisions=6, use_bvh=True,
+                       textured=os.environ.get("BENCH_TEXTURED", "1") == "1")
     camera = mesh_camera((res, res))
     cfg = driver.RenderConfig(
         width=res, height=res, spp=spp_batch, max_depth=depth,
@@ -41,12 +42,13 @@ def main():
 
     hw = res * res
 
+    from pbrt_tpu.cameras import cameras as cammod
+    cone = cammod.cone_start(camera)   # host-side: resolution must be concrete
+
     def bench_step(scene, camera, sample_lo):
         pixel_id = jnp.tile(jnp.arange(hw, dtype=jnp.uint32)[None, :], (spp_batch, 1))
         sample_idx = (jnp.arange(spp_batch, dtype=jnp.uint32) + sample_lo)[:, None] \
             * jnp.ones((1, hw), jnp.uint32)
-        from pbrt_tpu.cameras import cameras as cammod
-        cone = cammod.cone_start(camera)
         li_fn = lambda sc, o, d, pid, sid: path.li(sc, o, d, pid, sid, cfg,
                                                    return_stats=True, cone=cone)
         (rad, stats), wt = _render_lanes(scene, camera, cfg, li_fn, pixel_id, sample_idx)

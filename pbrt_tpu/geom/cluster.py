@@ -101,12 +101,18 @@ class ClusterSet(NamedTuple):
         return self.packed.shape[2]
 
 
-def _treelet_groups(rp, nn, t, k):
+def _treelet_groups(rp, nn, t, k, unit=None):
     """Cut the depth-first BVH into contiguous prim ranges, each a pack
-    of whole subtrees with ≤ k prims — the cluster analog of BVH
-    treelets. Node layout (geom/bvh.py): left child = i+1, interior
-    right child = rp[i], leaf prim offset = rp[i] with nn[i] > 0.
-    Returns [(start, count)] covering [0, t) in DFS prim order."""
+    of whole subtrees with ≤ `unit` prims (treelets), then greedily pack
+    consecutive treelets into clusters of ≤ k — the cluster analog of
+    BVH interior nodes. `unit` < k trades slightly looser cluster AABBs
+    (a cluster spans a few DFS-adjacent subtrees) for much better slot
+    fill (~0.95 vs ~0.77 at unit = k), i.e. fewer clusters and fewer
+    padded-slot triangle tests per round. Node layout (geom/bvh.py):
+    left child = i+1, interior right child = rp[i], leaf prim offset =
+    rp[i] with nn[i] > 0. Returns [(start, count)] covering [0, t)."""
+    if unit is None:
+        unit = max(k // 4, 16)
     m = len(nn)
     count = np.zeros(m, np.int64)
     start = np.zeros(m, np.int64)
@@ -117,12 +123,12 @@ def _treelet_groups(rp, nn, t, k):
         else:
             count[i] = count[i + 1] + count[rp[i]]
             start[i] = start[i + 1]
-    # maximal subtrees with ≤ k prims, in DFS (= prim) order
+    # maximal subtrees with ≤ unit prims, in DFS (= prim) order
     units = []
     stack = [0]
     while stack:
         i = stack.pop()
-        if nn[i] > 0 or count[i] <= k:
+        if nn[i] > 0 or count[i] <= unit:
             units.append((int(start[i]), int(count[i])))
         else:
             stack.append(int(rp[i]))    # right pushed first →
@@ -208,6 +214,9 @@ def build_clusters(positions, indices, prim_order=None, k=128):
     mxu[:, 0:3, 3] = n
     mxu[:, 8:11, 4] = -n; mxu[:, 11, 4] = kplane
     # (C, 16, 5, K): per cluster, feature rows × plane block × K lanes
+    # (NOTE: n·d = w0+w1+w2 algebraically, but the m·Vᵢ terms cancel
+    # catastrophically under bf16 split products — measured 1e-3 t error
+    # vs the dedicated exact block, so nd keeps its own plane.)
     packed_mxu = mxu.reshape(c, k, NF_MXU, 5).transpose(0, 2, 3, 1)
 
     p0f = p0.astype(np.float32).reshape(c, k, 3)
@@ -256,6 +265,10 @@ def _morton3(q, bits):
     return m & jnp.uint32((1 << (3 * bits)) - 1)
 
 
+_KEY_OBITS = int(os.environ.get("PBRT_TPU_KEY_OBITS", 5))  # origin bits/axis
+_KEY_DBITS = int(os.environ.get("PBRT_TPU_KEY_DBITS", 4))  # direction bits/axis
+
+
 def _coherence_key(cs, o, d):
     """uint32 sort key: direction octant, coarse origin Morton, then
     direction Morton (SURVEY §7 'sort rays by direction octant/origin
@@ -267,9 +280,27 @@ def _coherence_key(cs, o, d):
               | ((d[..., 2] < 0).astype(jnp.uint32) << 2))
     ext = jnp.maximum(cs.world_max - cs.world_min, 1e-6)
     q = (o - cs.world_min) / ext
-    m_origin = _morton3(q, 5)                     # 15 bits, 32³ cells
-    m_dir = _morton3(0.5 * (d + 1.0), 4)          # 12 bits
-    return (octant << jnp.uint32(27)) | (m_origin << jnp.uint32(12)) | m_dir
+    m_origin = _morton3(q, _KEY_OBITS)
+    m_dir = _morton3(0.5 * (d + 1.0), _KEY_DBITS)
+    db = jnp.uint32(3 * _KEY_DBITS)
+    return (octant << jnp.uint32(3 * (_KEY_OBITS + _KEY_DBITS))) \
+        | (m_origin << db) | m_dir
+
+
+def _world_exit_cap(cs, o, d, t_min, t_max):
+    """min(t_max, ray's exit t from the whole cluster-set AABB): gives
+    miss-lanes a FINITE best-t so the kernels' ordered-entry-t pruning
+    can fire (an INF t_best in one lane blocks the whole tile), and
+    turns rays that miss the box entirely into dead lanes."""
+    inv = 1.0 / jnp.where(jnp.abs(d) < 1e-12,
+                          jnp.where(d < 0, -1e-12, 1e-12), d)
+    t0 = (cs.world_min - o) * inv
+    t1 = (cs.world_max - o) * inv
+    tn = jnp.max(jnp.minimum(t0, t1), axis=-1)
+    tf = jnp.min(jnp.maximum(t0, t1), axis=-1)
+    miss = (tn > tf * 1.0001) | (tf < t_min)
+    cap = tf * 1.0005 + 1e-4
+    return jnp.where(miss, t_min - 1.0, jnp.minimum(t_max, cap))
 
 
 def _prepare(cs, o, d, t_min, t_max):
@@ -286,13 +317,16 @@ def _prepare(cs, o, d, t_min, t_max):
     d = d.reshape(n, 3)
     t_min = jnp.broadcast_to(t_min, shp).reshape(n)
     t_max = jnp.broadcast_to(t_max, shp).reshape(n)
+    t_max = _world_exit_cap(cs, o, d, t_min, t_max)
     key = _coherence_key(cs, o, d)
     # dead lanes (t_max <= t_min) sort to the very end: they concentrate
     # into tiles with zero cluster coverage, which the traversal kernels
     # skip outright (count = 0 ⇒ 0 rounds) — free wavefront compaction.
-    key = jnp.where(t_max > t_min, key, jnp.uint32(0xFFFFFFFF))
+    live = t_max > t_min
+    key = jnp.where(live, key, jnp.uint32(0xFFFFFFFF))
     order = jnp.argsort(key)
-    pad = (-n) % TILE
+    from ..kernels.cluster_pallas import TPB
+    pad = (-n) % (TILE * TPB)        # tiles come in TPB-sized grid steps
     order_p = jnp.concatenate([order, jnp.zeros(pad, order.dtype)]) if pad else order
     rec = jnp.concatenate([o, d, t_min[:, None], t_max[:, None]], axis=1)
     rec_s = rec[order_p]                       # (n+pad, 8) — THE gather
@@ -503,7 +537,12 @@ def _pallas_inputs(cs, comp, os_, ds_, interpret=False):
     c = cs.n_clusters
     planes = tuple(comp[f][:, None, :] for f in
                    ("ox", "oy", "oz", "dx", "dy", "dz", "tmin", "tmax"))
-    tnear = kp.coverage_tiles(planes, cs.cov_mxu, c, interpret=interpret)
+    # live lanes are a sorted prefix → tiles past the live prefix skip
+    # the coverage matmul entirely (dead-suffix gating)
+    n_live = jnp.sum((comp["tmax"] > comp["tmin"]).astype(jnp.int32))
+    n_live_tiles = (n_live + TILE - 1) // TILE
+    tnear = kp.coverage_tiles(planes, cs.cov_mxu, c,
+                              n_live_tiles=n_live_tiles, interpret=interpret)
     counts = jnp.sum((tnear < INF).astype(Int), axis=1)
     corder = jnp.argsort(tnear, axis=1).astype(Int)
     tnear_sorted = jnp.take_along_axis(tnear, corder, axis=1)
@@ -537,12 +576,12 @@ def intersect_pallas(cs: ClusterSet, tri, o, d, t_min, t_max, interpret=False):
     planes, corder_p, tnear_p, counts = _pallas_inputs(cs, comp, os_, ds_,
                                                        interpret=interpret)
 
-    t_best, slot, bary = kp.traverse_tiles(cs.packed_mxu, planes, corder_p,
-                                           tnear_p, counts, interpret=interpret)
-    hit = slot >= 0
-    slot_c = jnp.maximum(slot, 0)
-    cl = jnp.take_along_axis(corder_p, slot_c // k, axis=1)
-    tid = cs.c_tri_id[cl, slot_c % k]
+    t_best, gslot, bary = kp.traverse_tiles(cs.packed_mxu, planes, corder_p,
+                                            tnear_p, counts, interpret=interpret)
+    # kernel returns GLOBAL tri slots (cluster_id·K + lane): one flat
+    # gather resolves the original triangle id
+    hit = gslot >= 0
+    tid = cs.c_tri_id.reshape(-1)[jnp.maximum(gslot, 0)]
 
     # one packed unsort gather: [t, b1, b2, tid, hit] per sorted lane
     packed = jnp.stack([

@@ -67,6 +67,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 CH = int(os.environ.get("PBRT_TPU_CH", 8))   # clusters fetched per round
+TPB = int(os.environ.get("PBRT_TPU_TPB", 8))  # ray tiles per grid step —
+# the pallas grid-step overhead is ~3.2us regardless of work (measured,
+# profile_overhead.py), so each program processes TPB tiles sequentially
 SLOT_MASK = 2047
 _EPS = 1e-12
 
@@ -140,9 +143,9 @@ def _round_planes(L_T, scratch_round, k):
     return w0, w1, w2, nd, tnum
 
 
-def _start_round(corder_ref, packed_ref, scratch, sems, r, s):
+def _start_round(corder_ref, tt, packed_ref, scratch, sems, r, s):
     for j in range(CH):
-        cid = corder_ref[0, 0, r * CH + j]
+        cid = corder_ref[tt, 0, r * CH + j]
         pltpu.make_async_copy(
             packed_ref.at[cid],
             scratch.at[s, :, :, j, :],
@@ -159,20 +162,21 @@ def _wait_round(packed_ref, scratch, sems, s):
 
 # ------------------------------------------------------------- coverage
 
-def _ray_rows(plane_refs):
-    """(o3, d3, tmin, tmax) rows from the eight (1, 1, TILE) blocks.
-    tmin/tmax are clamped finite: they ride in matmul columns whose
-    feature rows are zero, and 0·inf = NaN would poison the row."""
-    ox, oy, oz, dx, dy, dz, tmin, tmax = [r[0] for r in plane_refs]
+def _ray_rows(plane_refs, tt=0):
+    """(o3, d3, tmin, tmax) rows of tile `tt` from the eight
+    (TPB, 1, TILE) blocks. tmin/tmax are clamped finite: they ride in
+    matmul columns whose feature rows are zero, and 0·inf = NaN would
+    poison the row."""
+    ox, oy, oz, dx, dy, dz, tmin, tmax = [r[tt] for r in plane_refs]
     big = 3e37
     o3 = jnp.concatenate([ox, oy, oz], axis=0)
     d3 = jnp.concatenate([dx, dy, dz], axis=0)
     return o3, d3, jnp.clip(tmin, -big, big), jnp.clip(tmax, -big, big)
 
 
-def _assemble_L(plane_refs):
+def _assemble_L(plane_refs, tt=0):
     """The (16, TILE) Plücker L feature matrix, in-kernel."""
-    o3, d3, tmin, tmax = _ray_rows(plane_refs)
+    o3, d3, tmin, tmax = _ray_rows(plane_refs, tt)
     ox, oy, oz = o3[0:1], o3[1:2], o3[2:3]
     dx, dy, dz = d3[0:1], d3[1:2], d3[2:3]
     mx = oy * dz - oz * dy
@@ -186,56 +190,79 @@ def _assemble_L(plane_refs):
 
 def _make_coverage_kernel(tile, cpad):
     def kernel(*refs):
-        plane_refs, (cov_ref, tnear_out) = refs[:8], refs[8:]
-        # the slab test as a K=6 matmul —
-        # t_plane = b·inv_ax + 1·(−o_ax·inv_ax).
-        o3, d3, tmin, tmax = _ray_rows(plane_refs)
-        inv = 1.0 / jnp.where(jnp.abs(d3) < 1e-12,
-                              jnp.where(d3 < 0, -1e-12, 1e-12), d3)
-        L_cov = jnp.concatenate([inv, -o3 * inv], axis=0)   # (6, TILE)
-        W = _dot(cov_ref[...], L_cov)                   # (6·cpad, TILE)
-        tn = jnp.broadcast_to(tmin, (cpad, tile))
-        tf = jnp.broadcast_to(tmax, (cpad, tile))
-        for ax in range(3):
-            lo = W[(2 * ax) * cpad:(2 * ax + 1) * cpad, :]
-            hi = W[(2 * ax + 1) * cpad:(2 * ax + 2) * cpad, :]
-            tn = jnp.maximum(tn, jnp.minimum(lo, hi))
-            tf = jnp.minimum(tf, jnp.maximum(lo, hi) * 1.0001)
-        hit = tn <= tf                                  # (cpad, TILE)
-        tnear = jnp.min(jnp.where(hit, tn, INF), axis=1, keepdims=True)
-        tnear_out[0, :, :] = tnear.reshape(1, cpad)
+        nlive_ref, plane_refs, (cov_ref, tnear_out) = refs[0], refs[1:9], refs[9:]
+        base = pl.program_id(0) * TPB
+        for tt in range(TPB):
+
+            @pl.when(base + tt < nlive_ref[0, 0, 0])
+            def _():
+                # the slab test as a K=6 matmul —
+                # t_plane = b·inv_ax + 1·(−o_ax·inv_ax).
+                o3, d3, tmin, tmax = _ray_rows(plane_refs, tt)
+                inv = 1.0 / jnp.where(jnp.abs(d3) < 1e-12,
+                                      jnp.where(d3 < 0, -1e-12, 1e-12), d3)
+                L_cov = jnp.concatenate([inv, -o3 * inv], axis=0)   # (6, TILE)
+                W = _dot(cov_ref[...], L_cov)                   # (6·cpad, TILE)
+                tn = jnp.broadcast_to(tmin, (cpad, tile))
+                tf = jnp.broadcast_to(tmax, (cpad, tile))
+                for ax in range(3):
+                    lo = W[(2 * ax) * cpad:(2 * ax + 1) * cpad, :]
+                    hi = W[(2 * ax + 1) * cpad:(2 * ax + 2) * cpad, :]
+                    tn = jnp.maximum(tn, jnp.minimum(lo, hi))
+                    tf = jnp.minimum(tf, jnp.maximum(lo, hi) * 1.0001)
+                hit = tn <= tf                                  # (cpad, TILE)
+                tnear = jnp.min(jnp.where(hit, tn, INF), axis=1, keepdims=True)
+                tnear_out[tt, :, :] = tnear.reshape(1, cpad)
+
+            @pl.when(base + tt >= nlive_ref[0, 0, 0])
+            def _():
+                # dead tile (dead lanes sort to the suffix): no coverage
+                tnear_out[tt, :, :] = jnp.full((1, cpad), INF, jnp.float32)
 
     return kernel
 
 
 def _plane_specs(tile):
-    return [pl.BlockSpec((1, 1, tile), lambda i: (i, 0, 0),
+    return [pl.BlockSpec((TPB, 1, tile), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)] * 8
 
 
-def coverage_tiles(planes, cov_mxu, n_clusters, interpret=False):
+def _pad_tiles(nt):
+    return -(-nt // TPB) * TPB
+
+
+def coverage_tiles(planes, cov_mxu, n_clusters, n_live_tiles=None,
+                   interpret=False):
     """Per-tile cluster coverage + entry t via one K=6 MXU pass per tile
     against VMEM-resident bounds features — replaces the XLA
     (nt·TILE·C) slab pass, which materialises hundreds of MB of HBM
-    intermediates at wavefront sizes.
+    intermediates at wavefront sizes. Each grid step covers TPB tiles
+    (per-step overhead amortisation); tiles past `n_live_tiles` (dead
+    lanes sort to the suffix) skip the matmul and write INF.
 
-    planes: 8×(nt, 1, TILE) f32; cov_mxu (6, 6·CPAD) f32; returns
-    tnear (nt, CPAD) f32 with INF where the tile does not enter the
-    cluster (pad columns forced to INF)."""
+    planes: 8×(nt, 1, TILE) f32 with nt % TPB == 0; cov_mxu
+    (6, 6·CPAD) f32; returns tnear (nt, CPAD) f32 with INF where the
+    tile does not enter the cluster (pad columns forced to INF)."""
     nt, _, tile = planes[0].shape
+    assert nt % TPB == 0
     cpad = cov_mxu.shape[1] // 6
+    if n_live_tiles is None:
+        n_live_tiles = jnp.full((), nt, jnp.int32)
     tnear = pl.pallas_call(
         _make_coverage_kernel(tile, cpad),
-        grid=(nt,),
-        in_specs=_plane_specs(tile) + [
+        grid=(nt // TPB,),
+        in_specs=[
+            pl.BlockSpec((1, 1, 1), lambda i: (0, 0, 0),
+                         memory_space=pltpu.SMEM),
+        ] + _plane_specs(tile) + [
             pl.BlockSpec((6, 6 * cpad), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[pl.BlockSpec((1, 1, cpad), lambda i: (i, 0, 0),
+        out_specs=[pl.BlockSpec((TPB, 1, cpad), lambda i: (i, 0, 0),
                                 memory_space=pltpu.VMEM)],
         out_shape=[jax.ShapeDtypeStruct((nt, 1, cpad), jnp.float32)],
         interpret=interpret,
-    )(*planes, cov_mxu)[0][:, 0, :]
+    )(n_live_tiles.astype(jnp.int32).reshape(1, 1, 1), *planes, cov_mxu)[0][:, 0, :]
     col = jax.lax.broadcasted_iota(jnp.int32, (1, cpad), 1)
     return jnp.where(col < n_clusters, tnear, INF)
 
@@ -249,101 +276,117 @@ def _make_closest_kernel(tile, k, approx=True):
         counts_ref, corder_ref, tnear_ref = refs[:3]
         plane_refs, packed_ref = refs[3:11], refs[11]
         t_out, slot_out, bary_out, scratch, sems = refs[12:]
-        count = counts_ref[0, 0, 0]
-        n_rounds = (count + CH - 1) // CH
         cpad = tnear_ref.shape[2]
-
-        L_T, tmin, tmax = _assemble_L(plane_refs)        # (16, TILE)
         slot_iota = jax.lax.broadcasted_iota(jnp.int32, (chk, 1), 0)
 
-        @pl.when(n_rounds > 0)
-        def _():
-            _start_round(corder_ref, packed_ref, scratch, sems, 0, 0)
+        for tt in range(TPB):
+            count = counts_ref[tt, 0, 0]
+            n_rounds = (count + CH - 1) // CH
+            L_T, tmin, tmax = _assemble_L(plane_refs, tt)     # (16, TILE)
 
-        def cond(carry):
-            r, t_best, best_slot, tb12, done = carry
-            return (r < n_rounds) & ~done
-
-        def body(carry):
-            r, t_best, best_slot, tb12, done = carry
-            cur = r % 2
-
-            @pl.when(r + 1 < n_rounds)
+            @pl.when(n_rounds > 0)
             def _():
-                _start_round(corder_ref, packed_ref, scratch, sems,
-                             r + 1, 1 - cur)
-            _wait_round(packed_ref, scratch, sems, cur)
+                _start_round(corder_ref, tt, packed_ref, scratch, sems, 0, 0)
 
-            def compute(args):
-                t_best, best_slot, tb12 = args
-                w0, w1, w2, nd, tnum = _round_planes(L_T, scratch[cur], k)
-                same = _same_sign(w0, w1, w2)
-                ndok = jnp.abs(nd) > _EPS
-                # approximate reciprocal for the per-slot t (the winner's
-                # exact t is recovered by one true division in `extract`)
-                t = tnum * _recip(jnp.where(ndok, nd, _EPS), approx)
-                ok = same & ndok & (t > tmin) & (t < t_best)
-                t = jnp.where(ok, t, INF)
-                # pack (t, slot) into one int key: a single min-reduce
-                # yields both the (slightly conservative) best t and the
-                # winning lane. t > tmin ≥ 0 keeps the f32 bit pattern
-                # order-preserving as int32.
-                t_bits = jax.lax.bitcast_convert_type(t, jnp.int32)
-                key = (t_bits & ~jnp.int32(SLOT_MASK)) | slot_iota
-                kmin = jnp.min(key, axis=0, keepdims=True)   # (1, TILE)
-                tj = jax.lax.bitcast_convert_type(
-                    kmin & ~jnp.int32(SLOT_MASK), jnp.float32)
-                upd = tj < t_best
+            def cond(carry):
+                r, t_best, best_slot, tb12, done = carry
+                return (r < n_rounds) & ~done
 
-                def extract(tb12):
-                    # one-hot extraction of the winner's exact t and
-                    # Plücker volumes: the signed volumes ARE the
-                    # barycentrics (w1 ↦ vertex p0, w2 ↦ p1, w0 ↦ p2),
-                    # so no host-side Möller–Trumbore finalize pass (and
-                    # none of its random vertex gathers) is needed. The
-                    # reductions only run on rounds that improved a lane.
-                    sel = (slot_iota == (kmin & SLOT_MASK)) & (t < INF)
-                    selw = lambda a: jnp.sum(jnp.where(sel, a, 0.0), axis=0,
-                                             keepdims=True)
-                    # exact plane t for the winner: one true division on
-                    # the (1, TILE) row (the per-slot t above is approx)
-                    s_nd = selw(nd)
-                    s_t = selw(tnum) / jnp.where(jnp.abs(s_nd) > _EPS, s_nd, _EPS)
-                    s_w0 = selw(w0)
-                    s_w1 = selw(w1)
-                    s_w2 = selw(w2)
-                    s_sum = s_w0 + s_w1 + s_w2
-                    inv = 1.0 / jnp.where(jnp.abs(s_sum) > 1e-30, s_sum, 1e-30)
-                    cand = jnp.concatenate([s_t, s_w2 * inv, s_w0 * inv], axis=0)
-                    return jnp.where(upd, cand, tb12)
+            def body(carry):
+                r, t_best, best_slot, tb12, done = carry
+                cur = r % 2
 
-                tb12 = jax.lax.cond(jnp.any(upd), extract, lambda x: x, tb12)
-                gslot = r * chk + (kmin & SLOT_MASK)
-                best_slot = jnp.where(upd, gslot, best_slot)
-                t_best = jnp.where(upd, tj, t_best)
-                return t_best, best_slot, tb12
+                @pl.when(r + 1 < n_rounds)
+                def _():
+                    _start_round(corder_ref, tt, packed_ref, scratch, sems,
+                                 r + 1, 1 - cur)
+                _wait_round(packed_ref, scratch, sems, cur)
 
-            t_best, best_slot, tb12 = compute((t_best, best_slot, tb12))
-            # ordered-entry-t pruning: clusters arrive sorted by entry
-            # t, so once the next round's nearest entry exceeds every
-            # lane's best hit no later cluster can improve any lane.
-            nxt = jnp.minimum((r + 1) * CH, cpad - 1)
-            done = tnear_ref[0, 0, nxt] >= jnp.max(t_best)
-            return r + 1, t_best, best_slot, tb12, done
+                def compute(args):
+                    t_best, best_slot, tb12 = args
+                    w0, w1, w2, nd, tnum = _round_planes(L_T, scratch[cur], k)
+                    same = _same_sign(w0, w1, w2)
+                    ndok = jnp.abs(nd) > _EPS
+                    # approximate reciprocal for the per-slot t (the
+                    # winner's exact t is recovered by one true division
+                    # in `extract`)
+                    t = tnum * _recip(jnp.where(ndok, nd, _EPS), approx)
+                    ok = same & ndok & (t > tmin) & (t < t_best)
+                    t = jnp.where(ok, t, INF)
+                    # pack (t, slot) into one int key: a single min-reduce
+                    # yields both the (slightly conservative) best t and
+                    # the winning lane. t > tmin ≥ 0 keeps the f32 bit
+                    # pattern order-preserving as int32.
+                    t_bits = jax.lax.bitcast_convert_type(t, jnp.int32)
+                    key = (t_bits & ~jnp.int32(SLOT_MASK)) | slot_iota
+                    kmin = jnp.min(key, axis=0, keepdims=True)   # (1, TILE)
+                    tj = jax.lax.bitcast_convert_type(
+                        kmin & ~jnp.int32(SLOT_MASK), jnp.float32)
+                    upd = tj < t_best
 
-        init = (jnp.zeros((), jnp.int32), tmax,
-                jnp.full((1, tile), -1, jnp.int32),
-                jnp.concatenate([tmax, jnp.zeros((2, tile), jnp.float32)], axis=0),
-                jnp.zeros((), jnp.bool_))
-        r_end, t_best, best_slot, tb12, _ = jax.lax.while_loop(cond, body, init)
+                    def extract(tb12):
+                        # one-hot extraction of the winner's exact t and
+                        # Plücker volumes: the signed volumes ARE the
+                        # barycentrics (w1 ↦ vertex p0, w2 ↦ p1, w0 ↦ p2),
+                        # so no host-side Möller–Trumbore finalize pass
+                        # (and none of its random vertex gathers) is
+                        # needed. Only runs on rounds that improved a lane.
+                        sel = (slot_iota == (kmin & SLOT_MASK)) & (t < INF)
+                        selw = lambda a: jnp.sum(jnp.where(sel, a, 0.0),
+                                                 axis=0, keepdims=True)
+                        # exact plane t for the winner: one true division
+                        # on the (1, TILE) row
+                        s_nd = selw(nd)
+                        s_t = selw(tnum) / jnp.where(jnp.abs(s_nd) > _EPS,
+                                                     s_nd, _EPS)
+                        s_w0 = selw(w0)
+                        s_w1 = selw(w1)
+                        s_w2 = selw(w2)
+                        s_sum = s_w0 + s_w1 + s_w2
+                        inv = 1.0 / jnp.where(jnp.abs(s_sum) > 1e-30, s_sum, 1e-30)
+                        cand = jnp.concatenate([s_t, s_w2 * inv, s_w0 * inv],
+                                               axis=0)
+                        return jnp.where(upd, cand, tb12)
 
-        # drain: an early exit leaves round r_end's DMA in flight
-        @pl.when(r_end < n_rounds)
-        def _():
-            _wait_round(packed_ref, scratch, sems, r_end % 2)
-        t_out[0, :, :] = tb12[0:1, :]
-        slot_out[0, :, :] = best_slot
-        bary_out[0, :, :] = tb12[1:3, :]
+                    tb12 = jax.lax.cond(jnp.any(upd), extract, lambda x: x, tb12)
+                    # GLOBAL tri slot = cluster_id·K + lane: map the
+                    # winner's chunk index to its cluster id with CH
+                    # scalar reads + selects — kills the slot→corder→
+                    # c_tri_id gather chain on the XLA side.
+                    s = kmin & jnp.int32(SLOT_MASK)
+                    jwin = s // k
+                    gcid = jnp.zeros_like(s)
+                    for j in range(CH):
+                        cid_j = corder_ref[tt, 0, r * CH + j]
+                        gcid = jnp.where(jwin == j, cid_j, gcid)
+                    gslot = gcid * k + (s % k)
+                    best_slot = jnp.where(upd, gslot, best_slot)
+                    t_best = jnp.where(upd, tj, t_best)
+                    return t_best, best_slot, tb12
+
+                t_best, best_slot, tb12 = compute((t_best, best_slot, tb12))
+                # ordered-entry-t pruning: clusters arrive sorted by
+                # entry t, so once the next round's nearest entry exceeds
+                # every lane's best hit no later cluster can improve.
+                nxt = jnp.minimum((r + 1) * CH, cpad - 1)
+                done = tnear_ref[tt, 0, nxt] >= jnp.max(t_best)
+                return r + 1, t_best, best_slot, tb12, done
+
+            init = (jnp.zeros((), jnp.int32), tmax,
+                    jnp.full((1, tile), -1, jnp.int32),
+                    jnp.concatenate([tmax, jnp.zeros((2, tile), jnp.float32)],
+                                    axis=0),
+                    jnp.zeros((), jnp.bool_))
+            r_end, t_best, best_slot, tb12, _ = jax.lax.while_loop(
+                cond, body, init)
+
+            # drain: an early exit leaves round r_end's DMA in flight
+            @pl.when(r_end < n_rounds)
+            def _():
+                _wait_round(packed_ref, scratch, sems, r_end % 2)
+            t_out[tt, :, :] = tb12[0:1, :]
+            slot_out[tt, :, :] = best_slot
+            bary_out[tt, :, :] = tb12[1:3, :]
 
     return kernel
 
@@ -353,73 +396,68 @@ def _make_anyhit_kernel(tile, k, approx=True):
         counts_ref, corder_ref, tnear_ref = refs[:3]
         plane_refs, packed_ref = refs[3:11], refs[11]
         occ_out, scratch, sems = refs[12:]
-        count = counts_ref[0, 0, 0]
-        n_rounds = (count + CH - 1) // CH
 
-        L_T, tmin, tmax = _assemble_L(plane_refs)
-        live = tmax > tmin
+        for tt in range(TPB):
+            count = counts_ref[tt, 0, 0]
+            n_rounds = (count + CH - 1) // CH
+            L_T, tmin, tmax = _assemble_L(plane_refs, tt)
+            live = tmax > tmin
 
-        @pl.when(n_rounds > 0)
-        def _():
-            _start_round(corder_ref, packed_ref, scratch, sems, 0, 0)
-
-        def cond(carry):
-            r, occ, done = carry
-            return (r < n_rounds) & ~done
-
-        def body(carry):
-            r, occ, done = carry
-            cur = r % 2
-
-            @pl.when(r + 1 < n_rounds)
+            @pl.when(n_rounds > 0)
             def _():
-                _start_round(corder_ref, packed_ref, scratch, sems,
-                             r + 1, 1 - cur)
-            _wait_round(packed_ref, scratch, sems, cur)
+                _start_round(corder_ref, tt, packed_ref, scratch, sems, 0, 0)
 
-            w0, w1, w2, nd, tnum = _round_planes(L_T, scratch[cur], k)
-            same = _same_sign(w0, w1, w2)
-            ndok = jnp.abs(nd) > _EPS
-            t = tnum * _recip(jnp.where(ndok, nd, _EPS), approx)
-            ok = same & ndok & (t > tmin) & (t < tmax)
-            # occ carried as i32: Mosaic can't legalize (1, TILE)
-            # i1 vectors as while_loop carries.
-            occ = occ | jnp.any(ok, axis=0, keepdims=True).astype(jnp.int32)
-            done = jnp.all((occ != 0) | ~live)
-            return r + 1, occ, done
+            def cond(carry):
+                r, occ, done = carry
+                return (r < n_rounds) & ~done
 
-        init = (jnp.zeros((), jnp.int32), jnp.zeros((1, tile), jnp.int32),
-                jnp.zeros((), jnp.bool_))
-        r_end, occ, _ = jax.lax.while_loop(cond, body, init)
+            def body(carry):
+                r, occ, done = carry
+                cur = r % 2
 
-        @pl.when(r_end < n_rounds)
-        def _():
-            _wait_round(packed_ref, scratch, sems, r_end % 2)
-        occ_out[0, :, :] = occ
+                @pl.when(r + 1 < n_rounds)
+                def _():
+                    _start_round(corder_ref, tt, packed_ref, scratch, sems,
+                                 r + 1, 1 - cur)
+                _wait_round(packed_ref, scratch, sems, cur)
+
+                w0, w1, w2, nd, tnum = _round_planes(L_T, scratch[cur], k)
+                same = _same_sign(w0, w1, w2)
+                ndok = jnp.abs(nd) > _EPS
+                t = tnum * _recip(jnp.where(ndok, nd, _EPS), approx)
+                ok = same & ndok & (t > tmin) & (t < tmax)
+                # occ carried as i32: Mosaic can't legalize (1, TILE)
+                # i1 vectors as while_loop carries.
+                occ = occ | jnp.any(ok, axis=0, keepdims=True).astype(jnp.int32)
+                done = jnp.all((occ != 0) | ~live)
+                return r + 1, occ, done
+
+            init = (jnp.zeros((), jnp.int32), jnp.zeros((1, tile), jnp.int32),
+                    jnp.zeros((), jnp.bool_))
+            r_end, occ, _ = jax.lax.while_loop(cond, body, init)
+
+            @pl.when(r_end < n_rounds)
+            def _():
+                _wait_round(packed_ref, scratch, sems, r_end % 2)
+            occ_out[tt, :, :] = occ
 
     return kernel
 
 
 def _common_specs(nt, tile, cpad, out_widths):
-    """(in_specs, out_specs) for the traversal kernels.
-
-    counts rides in SMEM (one scalar); corder/tnear are per-tile VMEM
-    blocks — streaming kilobytes per tile through SMEM serialises on the
-    scalar core and dominated the per-tile cost (profiled r3); the few
-    scalar reads per round (cluster ids for DMA, the pruning tnear) come
-    out of VMEM instead."""
-    # 3-D with singleton middle axis: the TPU block rule wants the last
-    # two block dims divisible by (8, 128) OR equal to the array dims —
-    # (1, cpad) blocks of an (nt, 1, cpad) array satisfy the latter.
+    """(in_specs, out_specs) for the traversal kernels. Each grid step
+    covers TPB tiles (the ~3.2µs per-step overhead dominates small
+    tiles — profile_overhead.py). counts/corder/tnear ride as per-step
+    SMEM blocks (scalar reads drive the DMA engine)."""
     in_specs = [
-        pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, 1, cpad), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, 1, cpad), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((TPB, 1, 1), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((TPB, 1, cpad), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((TPB, 1, cpad), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
     ] + _plane_specs(tile) + [
         pl.BlockSpec(memory_space=pltpu.ANY),
     ]
     out_specs = [
-        pl.BlockSpec((1, w, tile), lambda i: (i, 0, 0),
+        pl.BlockSpec((TPB, w, tile), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM)
         for w in out_widths
     ]
@@ -428,18 +466,19 @@ def _common_specs(nt, tile, cpad, out_widths):
 
 def traverse_tiles(packed_mxu, planes, corder, tnear, counts, interpret=False):
     """Closest hit. packed_mxu (C, 16, 5, K) f32, planes 8×(nt, 1, TILE)
-    f32, corder (nt, CPAD) i32 / tnear (nt, CPAD) f32 (CPAD a CH
-    multiple, ascending entry t), counts (nt,) i32 →
-    (t (nt, TILE) f32 exact plane t, slot (nt, TILE) i32 = rank·K+lane,
-    bary (nt, 2, TILE) f32)."""
+    f32 (nt % TPB == 0), corder (nt, CPAD) i32 / tnear (nt, CPAD) f32
+    (CPAD a CH multiple, ascending entry t), counts (nt,) i32 →
+    (t (nt, TILE) f32 exact plane t, slot (nt, TILE) i32 = GLOBAL tri
+    slot cluster_id·K + lane (-1 where missed), bary (nt, 2, TILE) f32)."""
     nt, _, tile = planes[0].shape
     c, nf, nb, k = packed_mxu.shape
     assert CH * k <= SLOT_MASK + 1, "slot index must fit the packed key"
+    assert nt % TPB == 0
     cpad = corder.shape[1]
     in_specs, out_specs = _common_specs(nt, tile, cpad, (1, 1, 2))
     t_b, slot, bary = pl.pallas_call(
         _make_closest_kernel(tile, k, approx=not interpret),
-        grid=(nt,), in_specs=in_specs, out_specs=out_specs,
+        grid=(nt // TPB,), in_specs=in_specs, out_specs=out_specs,
         out_shape=[jax.ShapeDtypeStruct((nt, 1, tile), jnp.float32),
                    jax.ShapeDtypeStruct((nt, 1, tile), jnp.int32),
                    jax.ShapeDtypeStruct((nt, 2, tile), jnp.float32)],
@@ -458,11 +497,12 @@ def occluded_tiles(packed_mxu, planes, corder, tnear, counts, interpret=False):
     occ (nt, TILE) bool."""
     nt, _, tile = planes[0].shape
     c, nf, nb, k = packed_mxu.shape
+    assert nt % TPB == 0
     cpad = corder.shape[1]
     in_specs, out_specs = _common_specs(nt, tile, cpad, (1,))
     occ = pl.pallas_call(
         _make_anyhit_kernel(tile, k, approx=not interpret),
-        grid=(nt,), in_specs=in_specs, out_specs=out_specs,
+        grid=(nt // TPB,), in_specs=in_specs, out_specs=out_specs,
         out_shape=[jax.ShapeDtypeStruct((nt, 1, tile), jnp.int32)],
         scratch_shapes=[
             pltpu.VMEM((2, 16, 5, CH, k), jnp.float32),

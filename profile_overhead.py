@@ -93,16 +93,19 @@ def make(kind):
     return kernel
 
 
-def run(kind, counts_val):
+def run(kind, counts_val, smem_blocks=True):
     packed = jnp.ones((C, 16, 5, K), jnp.float32)
     planes = [jnp.ones((NT, 1, TILE), jnp.float32) for _ in range(8)]
     corder = jnp.tile(jnp.arange(CPAD, dtype=jnp.int32)[None] % C, (NT, 1))
     tnear = jnp.zeros((NT, CPAD), jnp.float32)
     counts = jnp.full((NT,), counts_val, jnp.int32)
+    cw = CPAD if smem_blocks else 1
+    corder = corder[:, :cw]
+    tnear = tnear[:, :cw]
     in_specs = [
         pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, 1, CPAD), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, 1, CPAD), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, cw), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, cw), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
     ] + [pl.BlockSpec((1, 1, TILE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)] * 8 \
       + [pl.BlockSpec(memory_space=pltpu.ANY)]
     f = pl.pallas_call(
@@ -118,13 +121,14 @@ def run(kind, counts_val):
     dt = timeit(g, counts[:, None, None], corder[:, None, :], tnear[:, None, :],
                 *planes, packed)
     rounds = NT * ((counts_val + CH - 1) // CH)
-    print(f"{kind:14s} counts={counts_val:4d} rounds={rounds:6d}  "
+    print(f"{kind:14s} smem={int(smem_blocks)} counts={counts_val:4d} rounds={rounds:6d}  "
           f"{dt*1e3:8.2f} ms  {dt/NT*1e6:6.2f} us/tile")
 
 
 def main():
     print("devices:", jax.devices())
     run("empty", 0)
+    run("empty", 0, smem_blocks=False)
     run("dma", 0)
     run("dma", 8)
     run("dma", 32)
