@@ -43,6 +43,10 @@ class SPPMConfig(NamedTuple):
     initial_radius: float = 0.05
     alpha: float = 0.7
     sampler: smp.SamplerConfig = smp.SamplerConfig(kind="random", spp=1)
+    # photon gathering: "dense" (VP × photon distance matrix), "grid"
+    # (sort-by-cell hash grid, sppm.rs:300-355 analog), or "auto"
+    gather: str = "auto"
+    max_photons_per_cell: int = 32
 
 
 def _camera_pass(scene, camera, cfg, it):
@@ -234,6 +238,95 @@ def _gather(scene, vp, radius2, ph_p, ph_wi, ph_beta, ph_ok):
     return phi, m
 
 
+def _hash3(ix, iy, iz, hsize):
+    """Spatial hash of integer cell coords (sppm.rs hash function
+    analog); hsize is a power of two."""
+    h = (ix.astype(jnp.uint32) * jnp.uint32(73856093)) \
+        ^ (iy.astype(jnp.uint32) * jnp.uint32(19349663)) \
+        ^ (iz.astype(jnp.uint32) * jnp.uint32(83492791))
+    return (h & jnp.uint32(hsize - 1)).astype(Int)
+
+
+def _gather_grid(scene, vp, radius2, ph_p, ph_wi, ph_beta, ph_ok,
+                 max_per_cell=32):
+    """Photon gathering via a sort-by-cell spatial hash — the atomics-
+    free TPU analog of the reference's lock-free linked-list grid
+    (sppm.rs:300-355): photons are keyed by the hash of their grid cell
+    (cell edge = the max search radius) and SORTED; each visible point
+    probes the 8 cells its radius ball can overlap and scans each
+    cell's contiguous photon segment (searchsorted bounds, bounded at
+    `max_per_cell` — overflow is counted and returned, never silent).
+
+    Returns (phi (hw,3), m (hw,), dropped ())."""
+    hw = vp["p"].shape[0]
+    kinds = scene.materials.kinds_present
+    lp = matmod.resolve(scene.materials, vp["mid"], vp["uv"], vp["p"], scene.textures)
+    b = vm.normalize(vm.cross(vp["ns"], vp["dpdu"]))
+    t = vm.cross(b, vp["ns"])
+    wo_l = vm.to_local(vp["wo"], t, b, vp["ns"])
+
+    p_total = ph_p.shape[0]
+    hsize = 1 << max(int(np.ceil(np.log2(max(hw, 1)))) + 1, 10)
+    r_max = jnp.sqrt(jnp.max(jnp.where(vp["valid"], radius2, 0.0)))
+    # cell edge = ball DIAMETER: an interval of length 2r ≤ cell spans at
+    # most two cells per axis, so the 8 lo/hi probes cover the ball
+    cell = jnp.maximum(2.0 * r_max, 1e-6)
+    inv_cell = 1.0 / cell
+
+    # photons: hash-sort by containing cell
+    pc = jnp.floor(ph_p * inv_cell).astype(Int)
+    ph_h = jnp.where(ph_ok, _hash3(pc[:, 0], pc[:, 1], pc[:, 2], hsize),
+                     jnp.asarray(hsize, Int))      # dead photons → sentinel
+    order = jnp.argsort(ph_h)
+    ph_h_s = ph_h[order]
+    rec = jnp.concatenate([ph_p, ph_wi, ph_beta], axis=1)[order]   # (P, 9)
+
+    # per-cell overflow census (for the 'no silent caps' contract)
+    seg_len = jnp.searchsorted(ph_h_s, jnp.arange(hsize, dtype=Int), side="right") \
+        - jnp.searchsorted(ph_h_s, jnp.arange(hsize, dtype=Int), side="left")
+    dropped = jnp.sum(jnp.maximum(seg_len - max_per_cell, 0))
+
+    # VP ball (radius ≤ cell) overlaps ≤ 2 cells per axis: the cells of
+    # floor((p−r)/cell) and floor((p+r)/cell)
+    r_vp = jnp.sqrt(jnp.maximum(radius2, 0.0))[..., None]
+    lo = jnp.floor((vp["p"] - r_vp) * inv_cell).astype(Int)
+    hi = jnp.floor((vp["p"] + r_vp) * inv_cell).astype(Int)
+
+    phi = jnp.zeros((hw, 3), Float)
+    m = jnp.zeros((hw,), Float)
+    probed = []      # bucket ids already scanned (dedupes both the
+    #                  lo==hi axis case AND hash collisions between
+    #                  distinct probe cells, which would double-count)
+    for cx in range(2):
+        for cy in range(2):
+            for cz in range(2):
+                ix = jnp.where(cx == 0, lo[:, 0], hi[:, 0])
+                iy = jnp.where(cy == 0, lo[:, 1], hi[:, 1])
+                iz = jnp.where(cz == 0, lo[:, 2], hi[:, 2])
+                hv = _hash3(ix, iy, iz, hsize)
+                dup = jnp.zeros((hw,), bool)
+                for prev in probed:
+                    dup = dup | (hv == prev)
+                probed.append(hv)
+                start = jnp.searchsorted(ph_h_s, hv, side="left")
+                end = jnp.searchsorted(ph_h_s, hv, side="right")
+                end = jnp.minimum(end, start + max_per_cell)
+                idx = start[:, None] + jnp.arange(max_per_cell)    # (hw, M)
+                ok = (idx < end[:, None]) & ~dup[:, None] & vp["valid"][:, None]
+                r = rec[jnp.minimum(idx, p_total - 1)]             # (hw, M, 9)
+                d2 = jnp.sum((vp["p"][:, None] - r[..., 0:3]) ** 2, -1)
+                near = ok & (d2 <= radius2[:, None])
+                wi_l = vm.to_local(r[..., 3:6], t[:, None], b[:, None],
+                                   vp["ns"][:, None])
+                f = matmod.evaluate_f(
+                    jax.tree_util.tree_map(lambda a: a[:, None] if a.ndim else a, lp),
+                    kinds, jnp.broadcast_to(wo_l[:, None], wi_l.shape), wi_l)
+                contrib = jnp.where(near[..., None], f * r[..., 6:9], 0.0)
+                phi = phi + jnp.sum(contrib, axis=1)
+                m = m + jnp.sum(near, axis=1).astype(Float)
+    return phi, m, dropped
+
+
 def render(scene, camera, cfg: SPPMConfig):
     """Full SPPM render → (H, W, 3)."""
     h, w = cfg.height, cfg.width
@@ -245,11 +338,23 @@ def render(scene, camera, cfg: SPPMConfig):
     tau = jnp.zeros((hw, 3), Float)      # accumulated flux
     ld_acc = jnp.zeros((hw, 3), Float)
 
+    method = cfg.gather
+    if method == "auto":
+        # dense is exact+cheap at small scale; the grid is the only
+        # feasible option at config scale (512², ≥256k photons/iter)
+        p_total = cfg.photons_per_iter * cfg.max_depth
+        method = "grid" if hw * p_total > (1 << 28) else "dense"
+
     @jax.jit
     def one_iter(scene, camera, it, radius2, n_acc, tau):
         ld, vp = _camera_pass(scene, camera, cfg, it)
         ph_p, ph_wi, ph_beta, ph_ok = _photon_pass(scene, cfg, it, power_dist)
-        phi, m = _gather(scene, vp, radius2, ph_p, ph_wi, ph_beta, ph_ok)
+        if method == "grid":
+            phi, m, _dropped = _gather_grid(scene, vp, radius2, ph_p, ph_wi,
+                                            ph_beta, ph_ok,
+                                            cfg.max_photons_per_cell)
+        else:
+            phi, m = _gather(scene, vp, radius2, ph_p, ph_wi, ph_beta, ph_ok)
         # radius/flux update (sppm.rs:500-527)
         has = m > 0
         n_new = n_acc + cfg.alpha * m

@@ -196,3 +196,45 @@ def test_stratified_lower_variance_than_random():
         return np.var(np.stack(imgs), axis=0).mean()
 
     assert var_of("zerotwo") < var_of("random")
+
+
+def test_sppm_grid_gather_matches_dense():
+    """The sort-by-cell hash-grid photon gather (sppm.rs:300-355 analog)
+    must reproduce the dense VP×photon distance-matrix gather exactly
+    (same pairs; only float summation order differs)."""
+    import jax.numpy as jnp
+    from pbrt_tpu.integrate import sppm as sppmmod
+    from pbrt_tpu.core import vecmath as vm
+
+    b = SceneBuilder()
+    b.matte(kd=(0.5, 0.5, 0.5))
+    b.add_quad([-2, 0, 2], [2, 0, 2], [2, 0, -2], [-2, 0, -2], 0)
+    b.point_light([0, 2, 0], (1, 1, 1))
+    scene = b.build()
+
+    rs = np.random.RandomState(3)
+    hw, pt = 300, 2000
+    vp = dict(
+        p=jnp.asarray(rs.randn(hw, 3).astype(np.float32)),
+        wo=jnp.asarray(vm.normalize(jnp.asarray(rs.randn(hw, 3), jnp.float32))),
+        ns=jnp.tile(jnp.asarray([0., 0., 1.]), (hw, 1)),
+        ng=jnp.tile(jnp.asarray([0., 0., 1.]), (hw, 1)),
+        dpdu=jnp.tile(jnp.asarray([1., 0., 0.]), (hw, 1)),
+        beta=jnp.ones((hw, 3)),
+        mid=jnp.zeros((hw,), jnp.int32),
+        uv=jnp.zeros((hw, 2)),
+        valid=jnp.asarray(rs.rand(hw) > 0.1),
+    )
+    radius2 = jnp.asarray((0.05 + 0.1 * rs.rand(hw)).astype(np.float32) ** 2)
+    ph_p = jnp.asarray((rs.randn(pt, 3) * 0.8).astype(np.float32))
+    ph_wi = jnp.asarray(vm.normalize(jnp.asarray(rs.randn(pt, 3), jnp.float32)))
+    ph_beta = jnp.asarray(rs.rand(pt, 3).astype(np.float32))
+    ph_ok = jnp.asarray(rs.rand(pt) > 0.2)
+
+    phi_d, m_d = sppmmod._gather(scene, vp, radius2, ph_p, ph_wi, ph_beta, ph_ok)
+    phi_g, m_g, dropped = sppmmod._gather_grid(
+        scene, vp, radius2, ph_p, ph_wi, ph_beta, ph_ok, max_per_cell=256)
+    assert int(dropped) == 0
+    np.testing.assert_array_equal(np.asarray(m_d), np.asarray(m_g))
+    np.testing.assert_allclose(np.asarray(phi_d), np.asarray(phi_g),
+                               rtol=1e-5, atol=1e-6)
