@@ -99,31 +99,31 @@ def make_train_step(cfg, li_fn, param_get, param_set, mesh=None):
     n_dev = mesh.devices.size
     assert hw % n_dev == 0, "pixel count must divide the mesh for the demo step"
 
-    def shard_fn(scene, camera, target_flat, pix, samp):
-        def loss_fn(params):
-            sc = param_set(scene, params)
-            rad, wt = _render_lanes(sc, camera, cfg, li_fn, pix, samp)
-            img = jnp.sum(rad * wt[..., None], axis=0) / \
-                jnp.maximum(jnp.sum(wt, axis=0)[..., None], 1e-10)
-            # local mean; psum-averaged below
-            return jnp.mean((img - target_flat) ** 2)
+    # differentiate THROUGH shard_map: the forward is pixel-sharded, the
+    # transpose inserts the gradient all-reduce (psum over the mesh) at
+    # the replicated-param boundary automatically — collectives ride ICI
+    # within a host, DCN across hosts (SURVEY §5.8).
+    fwd = jax.shard_map(
+        lambda sc, cam_, pix, samp: _render_lanes(sc, cam_, cfg, li_fn, pix, samp),
+        mesh=mesh,
+        in_specs=(P(), P(), P(None, AXIS), P(None, AXIS)),
+        out_specs=(P(None, AXIS), P(None, AXIS)))
 
-        loss, grads = jax.value_and_grad(loss_fn)(param_get(scene))
-        loss = jax.lax.pmean(loss, AXIS)
-        grads = jax.lax.pmean(grads, AXIS)
-        return loss, grads
-
-    sharded = jax.shard_map(
-        shard_fn, mesh=mesh,
-        in_specs=(P(), P(), P(AXIS), P(None, AXIS), P(None, AXIS)),
-        out_specs=(P(), P()))
+    def loss_fn(params, scene, camera, target_flat, pix, samp):
+        sc = param_set(scene, params)
+        rad, wt = fwd(sc, camera, pix, samp)
+        img = jnp.sum(rad * wt[..., None], axis=0) / \
+            jnp.maximum(jnp.sum(wt, axis=0)[..., None], 1e-10)
+        return jnp.mean((img - target_flat) ** 2)
 
     @jax.jit
     def step(scene, camera, target_img, lr):
         s = cfg.spp
         pixel_id = jnp.tile(jnp.arange(hw, dtype=jnp.uint32)[None, :], (s, 1))
         sample_idx = jnp.arange(s, dtype=jnp.uint32)[:, None] * jnp.ones((1, hw), jnp.uint32)
-        loss, grads = sharded(scene, camera, target_img.reshape(hw, 3), pixel_id, sample_idx)
+        loss, grads = jax.value_and_grad(loss_fn)(
+            param_get(scene), scene, camera, target_img.reshape(hw, 3),
+            pixel_id, sample_idx)
         params = param_get(scene)
         params = jax.tree_util.tree_map(lambda p, g: p - lr * g, params, grads)
         return param_set(scene, params), loss
