@@ -279,14 +279,9 @@ def _make_closest_kernel(tile, k, approx=True):
         cpad = tnear_ref.shape[2]
         slot_iota = jax.lax.broadcasted_iota(jnp.int32, (chk, 1), 0)
 
-        for tt in range(TPB):
-            count = counts_ref[tt, 0, 0]
-            n_rounds = (count + CH - 1) // CH
+        def live_tile(tt, count, n_rounds):
             L_T, tmin, tmax = _assemble_L(plane_refs, tt)     # (16, TILE)
-
-            @pl.when(n_rounds > 0)
-            def _():
-                _start_round(corder_ref, tt, packed_ref, scratch, sems, 0, 0)
+            _start_round(corder_ref, tt, packed_ref, scratch, sems, 0, 0)
 
             def cond(carry):
                 r, t_best, best_slot, tb12, done = carry
@@ -388,6 +383,24 @@ def _make_closest_kernel(tile, k, approx=True):
             slot_out[tt, :, :] = best_slot
             bary_out[tt, :, :] = tb12[1:3, :]
 
+        for tt in range(TPB):
+            count = counts_ref[tt, 0, 0]
+            n_rounds = (count + CH - 1) // CH
+
+            # dead-tile fast path: zero-coverage tiles (all-dead lanes
+            # sort to the wavefront suffix, and fully-missing tiles have
+            # no covered clusters) skip L assembly and the whole loop —
+            # only the default output writes run.
+            @pl.when(n_rounds == 0)
+            def _():
+                t_out[tt, :, :] = plane_refs[7][tt]          # = tmax (miss)
+                slot_out[tt, :, :] = jnp.full((1, tile), -1, jnp.int32)
+                bary_out[tt, :, :] = jnp.zeros((2, tile), jnp.float32)
+
+            @pl.when(n_rounds > 0)
+            def _():
+                live_tile(tt, count, n_rounds)
+
     return kernel
 
 
@@ -397,15 +410,10 @@ def _make_anyhit_kernel(tile, k, approx=True):
         plane_refs, packed_ref = refs[3:11], refs[11]
         occ_out, scratch, sems = refs[12:]
 
-        for tt in range(TPB):
-            count = counts_ref[tt, 0, 0]
-            n_rounds = (count + CH - 1) // CH
+        def live_tile(tt, count, n_rounds):
             L_T, tmin, tmax = _assemble_L(plane_refs, tt)
             live = tmax > tmin
-
-            @pl.when(n_rounds > 0)
-            def _():
-                _start_round(corder_ref, tt, packed_ref, scratch, sems, 0, 0)
+            _start_round(corder_ref, tt, packed_ref, scratch, sems, 0, 0)
 
             def cond(carry):
                 r, occ, done = carry
@@ -440,6 +448,18 @@ def _make_anyhit_kernel(tile, k, approx=True):
             def _():
                 _wait_round(packed_ref, scratch, sems, r_end % 2)
             occ_out[tt, :, :] = occ
+
+        for tt in range(TPB):
+            count = counts_ref[tt, 0, 0]
+            n_rounds = (count + CH - 1) // CH
+
+            @pl.when(n_rounds == 0)
+            def _():
+                occ_out[tt, :, :] = jnp.zeros((1, tile), jnp.int32)
+
+            @pl.when(n_rounds > 0)
+            def _():
+                live_tile(tt, count, n_rounds)
 
     return kernel
 
