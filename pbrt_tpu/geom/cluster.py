@@ -303,14 +303,15 @@ def _world_exit_cap(cs, o, d, t_min, t_max):
     return jnp.where(miss, t_min - 1.0, jnp.minimum(t_max, cap))
 
 
-def _prepare(cs, o, d, t_min, t_max):
+def _prepare(cs, o, d, t_min, t_max, flag=None):
     """Flatten, sort by coherence, pad to a tile multiple. Returns ray
     component planes (NT, TILE) plus bookkeeping.
 
     The permutation is applied with ONE (N, 8) row gather of the packed
     (o, d, tmin, tmax) record — TPU gather cost is per-row, nearly
     independent of row width, so one 32-byte-row gather beats four
-    narrow ones ~4×."""
+    narrow ones ~4×. `flag` (optional per-lane f32, e.g. the fused
+    shadow-ray any-hit marker) rides the record as a ninth column."""
     shp = o.shape[:-1]
     n = int(np.prod(shp)) if shp else 1
     o = o.reshape(n, 3)
@@ -328,8 +329,11 @@ def _prepare(cs, o, d, t_min, t_max):
     from ..kernels.cluster_pallas import TPB
     pad = (-n) % (TILE * TPB)        # tiles come in TPB-sized grid steps
     order_p = jnp.concatenate([order, jnp.zeros(pad, order.dtype)]) if pad else order
-    rec = jnp.concatenate([o, d, t_min[:, None], t_max[:, None]], axis=1)
-    rec_s = rec[order_p]                       # (n+pad, 8) — THE gather
+    cols = [o, d, t_min[:, None], t_max[:, None]]
+    if flag is not None:
+        cols.append(flag.reshape(n, 1).astype(Float))
+    rec = jnp.concatenate(cols, axis=1)
+    rec_s = rec[order_p]                       # (n+pad, 8|9) — THE gather
     npad = n + pad
     nt = npad // TILE
     tmaxs = rec_s[:, 7]
@@ -348,6 +352,8 @@ def _prepare(cs, o, d, t_min, t_max):
         mx=m[:, 0].reshape(nt, TILE), my=m[:, 1].reshape(nt, TILE),
         mz=m[:, 2].reshape(nt, TILE),
         tmin=rec_s[:, 6].reshape(nt, TILE), tmax=tmaxs.reshape(nt, TILE))
+    if flag is not None:
+        comp["flag"] = rec_s[:, 8].reshape(nt, TILE)
     return shp, n, order, comp, os.reshape(nt, TILE, 3), ds.reshape(nt, TILE, 3), nt
 
 
@@ -595,6 +601,57 @@ def intersect_pallas(cs: ClusterSet, tri, o, d, t_min, t_max, interpret=False):
     return (ok.reshape(shp), t_fin.reshape(shp),
             out[:, 3].astype(Int).reshape(shp),
             out[:, 1].reshape(shp), out[:, 2].reshape(shp))
+
+
+def intersect_occluded_pallas(cs: ClusterSet, tri, o, d, t_min, t_max,
+                              o_sh, d_sh, tmin_sh, tmax_sh, interpret=False):
+    """FUSED closest-hit + any-hit query: the extension rays (closest)
+    and the bounce's NEE shadow rays (any-hit) share ONE coherence sort,
+    ONE coverage pass and ONE kernel launch — the per-bounce traversal
+    overhead (two argsorts, two coverage matmuls, two grid launches)
+    halves, and rays leaving the same surface points land in the same
+    tiles. Shadow lanes run the kernel in any-hit mode (see
+    kernels/cluster_pallas.traverse_tiles).
+
+    Returns ((hit, t, tri_idx, b1, b2), occ) with the original shapes."""
+    shp = o.shape[:-1]
+    shp_sh = o_sh.shape[:-1]
+    n = int(np.prod(shp)) if shp else 1
+    n_sh = int(np.prod(shp_sh)) if shp_sh else 1
+    oc = jnp.concatenate([o.reshape(n, 3), o_sh.reshape(n_sh, 3)], axis=0)
+    dc = jnp.concatenate([d.reshape(n, 3), d_sh.reshape(n_sh, 3)], axis=0)
+    tminc = jnp.concatenate([jnp.broadcast_to(t_min, shp).reshape(n),
+                             jnp.broadcast_to(tmin_sh, shp_sh).reshape(n_sh)])
+    tmaxc = jnp.concatenate([jnp.broadcast_to(t_max, shp).reshape(n),
+                             jnp.broadcast_to(tmax_sh, shp_sh).reshape(n_sh)])
+    flag = jnp.concatenate([jnp.zeros(n, Float), jnp.ones(n_sh, Float)])
+
+    from ..kernels import cluster_pallas as kp
+    _, _, order, comp, os_, ds_, nt = _prepare(cs, oc, dc, tminc, tmaxc,
+                                               flag=flag)
+    k = cs.cluster_size
+    planes, corder_p, tnear_p, counts = _pallas_inputs(cs, comp, os_, ds_,
+                                                       interpret=interpret)
+    ah = comp["flag"][:, None, :]
+    t_best, gslot, bary = kp.traverse_tiles(cs.packed_mxu, planes, corder_p,
+                                            tnear_p, counts, anyhit=ah,
+                                            interpret=interpret)
+    hit = gslot >= 0
+    tid = cs.c_tri_id.reshape(-1)[jnp.maximum(gslot, 0)]
+    packed = jnp.stack([
+        t_best.reshape(-1), bary[:, 0, :].reshape(-1),
+        bary[:, 1, :].reshape(-1), tid.reshape(-1).astype(Float),
+        hit.reshape(-1).astype(Float)], axis=-1)
+    inv = jnp.argsort(order)
+    out = packed[inv]
+    oute = out[:n]
+    ok = oute[:, 4] > 0.5
+    t_fin = jnp.where(ok, oute[:, 0], INF)
+    occ = out[n:, 4] > 0.5
+    return ((ok.reshape(shp), t_fin.reshape(shp),
+             oute[:, 3].astype(Int).reshape(shp),
+             oute[:, 1].reshape(shp), oute[:, 2].reshape(shp)),
+            occ.reshape(shp_sh))
 
 
 def occluded_pallas(cs: ClusterSet, tri, o, d, t_min, t_max, interpret=False):

@@ -102,13 +102,18 @@ def _empty_hit(o, d):
                prim_id=jnp.full(n, -1, Int), uv_scale=jnp.ones(n, Float))
 
 
-def intersect(scene: Scene, o, d, t_min=None, t_max=None, active=None) -> Hit:
+def intersect(scene: Scene, o, d, t_min=None, t_max=None, active=None,
+              _tri_result=None) -> Hit:
     """Closest-hit query for a wavefront of rays o/d (N, 3).
 
     `active` (optional bool mask) marks live lanes: dead lanes get
     t_max < t_min, sort to the end of the coherence order, land in
     zero-coverage tiles, and cost the traversal kernels nothing — free
-    wavefront compaction with no gather/scatter reshuffle."""
+    wavefront compaction with no gather/scatter reshuffle.
+
+    `_tri_result` (internal): precomputed triangle-pool traversal output
+    (hit, t, idx, b1, b2) from a fused query (see intersect_occluded) —
+    the shading-record assembly and quadric pass still run here."""
     n = o.shape[:-1]
     t_min = jnp.broadcast_to(jnp.asarray(RAY_EPS if t_min is None else t_min, Float), n)
     t_max = jnp.broadcast_to(jnp.asarray(INF if t_max is None else t_max, Float), n)
@@ -119,7 +124,9 @@ def intersect(scene: Scene, o, d, t_min=None, t_max=None, active=None) -> Hit:
     best_t = t_max
 
     if scene.tri.count:
-        if scene.clusters is not None:
+        if _tri_result is not None:
+            t_hit, t_t, t_idx, b1, b2 = _tri_result
+        elif scene.clusters is not None:
             from . import cluster as clmod
             cl_intersect = (clmod.intersect_pallas
                             if clmod.pallas_enabled(scene.clusters)
@@ -178,6 +185,44 @@ def intersect(scene: Scene, o, d, t_min=None, t_max=None, active=None) -> Hit:
                       hit.uv_scale))
         best_t = jnp.where(take, q_t, best_t)
     return hit
+
+
+def intersect_occluded(scene: Scene, o, d, o_sh, d_sh, tmax_sh,
+                       active=None, active_sh=None):
+    """Fused closest-hit (o, d) + any-hit shadow (o_sh, d_sh) query.
+
+    When the pallas cluster tracer is active, both wavefronts share ONE
+    coherence sort, ONE coverage pass and ONE kernel launch (shadow lanes
+    run in any-hit mode) — halving the per-bounce traversal overhead of
+    the path integrator's NEE + extension pattern (path.rs:100-152 traces
+    them as two separate scene queries). Falls back to separate
+    intersect/occluded calls otherwise. Returns (Hit, occ)."""
+    use_fused = (scene.tri.count and scene.clusters is not None)
+    if use_fused:
+        from . import cluster as clmod
+        use_fused = clmod.pallas_enabled(scene.clusters)
+    if not use_fused:
+        return (intersect(scene, o, d, active=active),
+                occluded(scene, o_sh, d_sh, t_max=tmax_sh, active=active_sh))
+    from . import cluster as clmod
+    n = o.shape[:-1]
+    n_sh = o_sh.shape[:-1]
+    t_min = jnp.broadcast_to(jnp.asarray(RAY_EPS, Float), n)
+    t_max = jnp.full(n, INF, Float)
+    if active is not None:
+        t_max = jnp.where(active, t_max, -1.0)
+    tmin_sh = jnp.broadcast_to(jnp.asarray(RAY_EPS, Float), n_sh)
+    tmax_sh = jnp.broadcast_to(jnp.asarray(tmax_sh, Float), n_sh)
+    if active_sh is not None:
+        tmax_sh = jnp.where(active_sh, tmax_sh, -1.0)
+    tri_result, occ = clmod.intersect_occluded_pallas(
+        scene.clusters, scene.tri, o, d, t_min, t_max,
+        o_sh, d_sh, tmin_sh, tmax_sh)
+    hit = intersect(scene, o, d, active=active, _tri_result=tri_result)
+    if scene.quad.count:
+        occ = occ | quadmod.occluded_brute(scene.quad, o_sh, d_sh,
+                                           tmin_sh, tmax_sh)
+    return hit, occ
 
 
 def occluded(scene: Scene, o, d, t_min=None, t_max=None, active=None):

@@ -118,10 +118,14 @@ def select_light_pmf(scene, strategy, p, light_id):
     return jnp.full(jnp.shape(light_id), 1.0 / nl, Float)
 
 
-def nee_light_part(scene, lights, lp, kinds_present, frame, p, ns, ng, wo,
-                   lt, u_light, active):
-    """Light-sampling half of estimate_direct (integrator.rs:155-195).
-    Returns (ld_light (N,3) — NOT divided by the selection pmf, ls)."""
+def nee_light_defer(scene, lights, lp, kinds_present, frame, p, ns, ng, wo,
+                    lt, u_light, active):
+    """Light-sampling half of estimate_direct WITHOUT the shadow trace
+    (integrator.rs:155-195 split at the visibility test). Returns
+    (contrib (N,3) — unoccluded candidate, NOT pmf-divided,
+     o_sh, wi, tmax_sh, usable, ls); the caller traces the shadow ray —
+    possibly fused into the bounce's extension-ray launch
+    (scenemod.intersect_occluded) — and applies contrib·~occ."""
     ls = lightsmod.sample_li(lights, scene, lt, p, u_light, scene.world_radius)
     wi = ls["wi"]
     wo_l = frame.to_local(wo)
@@ -130,13 +134,22 @@ def nee_light_part(scene, lights, lp, kinds_present, frame, p, ns, ng, wo,
     scat_pdf = matmod.pdf(lp, kinds_present, wo_l, wi_l)
     usable = active & (ls["pdf"] > 0.0) & (luminance(ls["li"]) > 0.0) & (luminance(f) > 0.0)
     o_sh = vm.offset_ray_origin(p, ng, wi)
-    t_max = ls["dist"] * (1.0 - 1e-3)
-    occ = scenemod.occluded(scene, o_sh, wi, t_max=jnp.maximum(t_max, SHADOW_EPS),
-                            active=usable)
-    vis = usable & ~occ
+    tmax_sh = jnp.maximum(ls["dist"] * (1.0 - 1e-3), SHADOW_EPS)
     w_l = jnp.where(ls["is_delta"], 1.0, power_heuristic(1.0, ls["pdf"], 1.0, scat_pdf))
     contrib = f * ls["li"] * (w_l / jnp.maximum(ls["pdf"], 1e-12))[..., None]
-    return jnp.where(vis[..., None], contrib, 0.0), ls
+    contrib = jnp.where(usable[..., None], contrib, 0.0)
+    return contrib, o_sh, wi, tmax_sh, usable, ls
+
+
+def nee_light_part(scene, lights, lp, kinds_present, frame, p, ns, ng, wo,
+                   lt, u_light, active):
+    """Light-sampling half of estimate_direct (integrator.rs:155-195).
+    Returns (ld_light (N,3) — NOT divided by the selection pmf, ls)."""
+    contrib, o_sh, wi, tmax_sh, usable, ls = nee_light_defer(
+        scene, lights, lp, kinds_present, frame, p, ns, ng, wo,
+        lt, u_light, active)
+    occ = scenemod.occluded(scene, o_sh, wi, t_max=tmax_sh, active=usable)
+    return jnp.where((usable & ~occ)[..., None], contrib, 0.0), ls
 
 
 def nee_bsdf_ray(lp, kinds_present, frame, p, ns, ng, wo, u_lobe, u_bsdf):

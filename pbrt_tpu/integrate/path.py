@@ -134,16 +134,21 @@ def li(scene, o, d, pixel_id, sample_idx, cfg, rr_start=3, return_stats=False,
         lp = matmod.resolve(scene.materials, hit.material_id, hit.uv, hit.p,
                             scene.textures, fp=fp_uv)
 
-        # --- NEE light half (path.rs:100-126 → integrator.rs:155-195)
+        # --- NEE light half (path.rs:100-126 → integrator.rs:155-195).
+        # The shadow trace is DEFERRED: the candidate contribution and
+        # shadow ray are kept and traced together with this bounce's
+        # extension ray in ONE fused kernel launch (shared coherence
+        # sort + coverage pass; scenemod.intersect_occluded).
         u_sel = flat(sample1(bounce, 5))
         lt, pmf = common.select_light(scene, cfg.light_strategy, hit.p, u_sel)
         u_light = flat(sample2(bounce, 3))
-        ld_light, ls = common.nee_light_part(
+        nee_c, o_sh, wi_sh, tmax_sh, usable, ls = common.nee_light_defer(
             scene, lights, lp, kinds, frame, hit.p, hit.ns, hit.ng, wo,
             lt, u_light, active)
         rays_traced = rays_traced + jnp.sum(active.astype(Float))
-        L = L + jnp.where(active[..., None],
-                          beta * ld_light / jnp.maximum(pmf, 1e-12)[..., None],
+        # fold beta and the selection pmf now — beta mutates below
+        nee_c = jnp.where(active[..., None],
+                          beta * nee_c / jnp.maximum(pmf, 1e-12)[..., None],
                           0.0)
 
         # --- ONE BSDF sample: MIS counterpart AND path continuation
@@ -223,7 +228,10 @@ def li(scene, o, d, pixel_id, sample_idx, cfg, rr_start=3, return_stats=False,
             prev_p = jnp.where(m3, exit_hit.p, prev_p)
             prev_pdf = jnp.where(ok_sss, pdf_cos, prev_pdf)
             prev_spec = jnp.where(ok_sss, False, prev_spec)
-        hit = scenemod.intersect(scene, o, d, active=active)
+        hit, occ = scenemod.intersect_occluded(scene, o, d, o_sh, wi_sh,
+                                               tmax_sh, active=active,
+                                               active_sh=usable)
+        L = L + jnp.where((usable & ~occ)[..., None], nee_c, 0.0)
         rays_traced = rays_traced + jnp.sum(active.astype(Float))
 
     # Final emission pickup: completes the BSDF-MIS half of the last

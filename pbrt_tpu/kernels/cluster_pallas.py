@@ -274,13 +274,19 @@ def _make_closest_kernel(tile, k, approx=True):
 
     def kernel(*refs):
         counts_ref, corder_ref, tnear_ref = refs[:3]
-        plane_refs, packed_ref = refs[3:11], refs[11]
-        t_out, slot_out, bary_out, scratch, sems = refs[12:]
+        plane_refs, ah_ref, packed_ref = refs[3:11], refs[11], refs[12]
+        t_out, slot_out, bary_out, scratch, sems = refs[13:]
         cpad = tnear_ref.shape[2]
         slot_iota = jax.lax.broadcasted_iota(jnp.int32, (chk, 1), 0)
 
         def live_tile(tt, count, n_rounds):
             L_T, tmin, tmax = _assemble_L(plane_refs, tt)     # (16, TILE)
+            # any-hit lanes (shadow rays fused into the closest-hit
+            # launch): after their FIRST accepted hit their t_best drops
+            # to -1, so (a) no further round can update them (t > tmin ≥
+            # 0 > -1) and (b) they leave the tile's max-t_best pruning
+            # bound — per-lane early-out without divergent control flow.
+            anyhit = ah_ref[tt] > 0.0                          # (1, TILE)
             _start_round(corder_ref, tt, packed_ref, scratch, sems, 0, 0)
 
             def cond(carry):
@@ -356,7 +362,7 @@ def _make_closest_kernel(tile, k, approx=True):
                         gcid = jnp.where(jwin == j, cid_j, gcid)
                     gslot = gcid * k + (s % k)
                     best_slot = jnp.where(upd, gslot, best_slot)
-                    t_best = jnp.where(upd, tj, t_best)
+                    t_best = jnp.where(upd, jnp.where(anyhit, -1.0, tj), t_best)
                     return t_best, best_slot, tb12
 
                 t_best, best_slot, tb12 = compute((t_best, best_slot, tb12))
@@ -484,18 +490,29 @@ def _common_specs(nt, tile, cpad, out_widths):
     return in_specs, out_specs
 
 
-def traverse_tiles(packed_mxu, planes, corder, tnear, counts, interpret=False):
+def traverse_tiles(packed_mxu, planes, corder, tnear, counts, anyhit=None,
+                   interpret=False):
     """Closest hit. packed_mxu (C, 16, 5, K) f32, planes 8×(nt, 1, TILE)
     f32 (nt % TPB == 0), corder (nt, CPAD) i32 / tnear (nt, CPAD) f32
     (CPAD a CH multiple, ascending entry t), counts (nt,) i32 →
     (t (nt, TILE) f32 exact plane t, slot (nt, TILE) i32 = GLOBAL tri
-    slot cluster_id·K + lane (-1 where missed), bary (nt, 2, TILE) f32)."""
+    slot cluster_id·K + lane (-1 where missed), bary (nt, 2, TILE) f32).
+
+    `anyhit` (nt, 1, TILE) f32 (optional): lanes with anyhit > 0 run in
+    shadow-ray mode — they stop constraining the tile after their first
+    accepted hit (occluded ⟺ slot ≥ 0); their t/bary outputs are
+    meaningless. Fusing shadow and extension rays into ONE launch halves
+    the per-bounce sort/coverage/launch overhead and lets mixed-coherence
+    wavefronts share tiles."""
     nt, _, tile = planes[0].shape
     c, nf, nb, k = packed_mxu.shape
     assert CH * k <= SLOT_MASK + 1, "slot index must fit the packed key"
     assert nt % TPB == 0
+    if anyhit is None:
+        anyhit = jnp.zeros((nt, 1, tile), jnp.float32)
     cpad = corder.shape[1]
     in_specs, out_specs = _common_specs(nt, tile, cpad, (1, 1, 2))
+    in_specs.insert(11, _plane_specs(tile)[0])    # anyhit flag plane
     t_b, slot, bary = pl.pallas_call(
         _make_closest_kernel(tile, k, approx=not interpret),
         grid=(nt // TPB,), in_specs=in_specs, out_specs=out_specs,
@@ -508,7 +525,7 @@ def traverse_tiles(packed_mxu, planes, corder, tnear, counts, interpret=False):
         ],
         interpret=interpret,
     )(counts[:, None, None].astype(jnp.int32), corder[:, None, :],
-      tnear[:, None, :], *planes, packed_mxu)
+      tnear[:, None, :], *planes, anyhit, packed_mxu)
     return t_b[:, 0, :], slot[:, 0, :], bary
 
 

@@ -59,6 +59,39 @@ def test_cluster_2d_lane_shape():
     assert (np.asarray(bh) == np.asarray(ch)).mean() > 0.99
 
 
+def test_pallas_fused_intersect_occluded_matches_separate():
+    """Fused closest-hit + any-hit launch (interpret mode) vs brute force
+    on both halves, including dead lanes on each side."""
+    verts, idx = _random_soup(600, seed=31)
+    tri = _tri_soa(verts, idx)
+    cs = clmod.build_clusters(verts, idx, k=128)
+    o, d = _rand_rays(500, seed=32)
+    o_sh, d_sh = _rand_rays(400, seed=33)
+    r = np.random.RandomState(34)
+    t_min = jnp.full((500,), 1e-4, jnp.float32)
+    # ~20% dead lanes on each side (t_max < t_min → compacted out)
+    t_max = jnp.asarray(np.where(r.rand(500) < 0.2, -1.0, np.inf), jnp.float32)
+    tmin_sh = jnp.full((400,), 1e-4, jnp.float32)
+    tmax_sh = jnp.asarray(np.where(r.rand(400) < 0.2, -1.0, 6.0), jnp.float32)
+
+    (ph, pt, pi, _, _), occ = clmod.intersect_occluded_pallas(
+        cs, tri, o, d, t_min, t_max, o_sh, d_sh, tmin_sh, tmax_sh,
+        interpret=True)
+    bh, bt, bi, _, _ = trimod.intersect_brute(tri, o, d, t_min, t_max)
+    occ_b = trimod.occluded_brute(tri, o_sh, d_sh, tmin_sh, tmax_sh)
+    assert (np.asarray(bh) == np.asarray(ph)).mean() > 0.995
+    both = np.asarray(bh) & np.asarray(ph)
+    assert (np.asarray(bi)[both] == np.asarray(pi)[both]).mean() > 0.99
+    m = both & (np.asarray(bi) == np.asarray(pi))
+    np.testing.assert_allclose(np.asarray(bt)[m], np.asarray(pt)[m], rtol=1e-3)
+    assert (np.asarray(occ_b) == np.asarray(occ)).mean() > 0.995
+    # dead lanes must come back unhit / unoccluded
+    dead_e = np.asarray(t_max) < 0
+    dead_s = np.asarray(tmax_sh) < 0
+    assert not np.asarray(ph)[dead_e].any()
+    assert not np.asarray(occ)[dead_s].any()
+
+
 def test_pallas_kernel_interpret_matches_brute():
     """Pallas per-tile kernel (interpret mode) vs brute force."""
     verts, idx = _random_soup(600, seed=21)
