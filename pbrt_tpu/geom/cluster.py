@@ -566,7 +566,7 @@ def _pallas_inputs(cs, comp, os_, ds_, interpret=False):
     return planes, corder, tnear_sorted, counts
 
 
-def intersect_pallas(cs: ClusterSet, tri, o, d, t_min, t_max, interpret=False):
+def intersect_pallas(cs: ClusterSet, o, d, t_min, t_max, interpret=False):
     """Closest-hit via the pallas per-tile MXU kernel
     (kernels/cluster_pallas.py). Requires a ClusterSet built with
     k=128. Same return contract as `intersect`.
@@ -603,7 +603,7 @@ def intersect_pallas(cs: ClusterSet, tri, o, d, t_min, t_max, interpret=False):
             out[:, 1].reshape(shp), out[:, 2].reshape(shp))
 
 
-def intersect_occluded_pallas(cs: ClusterSet, tri, o, d, t_min, t_max,
+def intersect_occluded_pallas(cs: ClusterSet, o, d, t_min, t_max,
                               o_sh, d_sh, tmin_sh, tmax_sh, interpret=False):
     """FUSED closest-hit + any-hit query: the extension rays (closest)
     and the bounce's NEE shadow rays (any-hit) share ONE coherence sort,
@@ -654,7 +654,7 @@ def intersect_occluded_pallas(cs: ClusterSet, tri, o, d, t_min, t_max,
             occ.reshape(shp_sh))
 
 
-def occluded_pallas(cs: ClusterSet, tri, o, d, t_min, t_max, interpret=False):
+def occluded_pallas(cs: ClusterSet, o, d, t_min, t_max, interpret=False):
     """Any-hit via the pallas per-tile MXU kernel. Same return contract
     as `occluded`."""
     from ..kernels import cluster_pallas as kp

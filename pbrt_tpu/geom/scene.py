@@ -128,11 +128,12 @@ def intersect(scene: Scene, o, d, t_min=None, t_max=None, active=None,
             t_hit, t_t, t_idx, b1, b2 = _tri_result
         elif scene.clusters is not None:
             from . import cluster as clmod
-            cl_intersect = (clmod.intersect_pallas
-                            if clmod.pallas_enabled(scene.clusters)
-                            else clmod.intersect)
-            t_hit, t_t, t_idx, b1, b2 = cl_intersect(
-                scene.clusters, scene.tri, o, d, t_min, best_t)
+            if clmod.pallas_enabled(scene.clusters):
+                t_hit, t_t, t_idx, b1, b2 = clmod.intersect_pallas(
+                    scene.clusters, o, d, t_min, best_t)
+            else:
+                t_hit, t_t, t_idx, b1, b2 = clmod.intersect(
+                    scene.clusters, scene.tri, o, d, t_min, best_t)
         elif scene.bvh is not None:
             from . import bvh as bvhmod
             t_hit, t_t, t_idx, b1, b2 = bvhmod.traverse_closest(
@@ -216,7 +217,7 @@ def intersect_occluded(scene: Scene, o, d, o_sh, d_sh, tmax_sh,
     if active_sh is not None:
         tmax_sh = jnp.where(active_sh, tmax_sh, -1.0)
     tri_result, occ = clmod.intersect_occluded_pallas(
-        scene.clusters, scene.tri, o, d, t_min, t_max,
+        scene.clusters, o, d, t_min, t_max,
         o_sh, d_sh, tmin_sh, tmax_sh)
     hit = intersect(scene, o, d, active=active, _tri_result=tri_result)
     if scene.quad.count:
@@ -237,10 +238,12 @@ def occluded(scene: Scene, o, d, t_min=None, t_max=None, active=None):
     if scene.tri.count:
         if scene.clusters is not None:
             from . import cluster as clmod
-            cl_occluded = (clmod.occluded_pallas
-                           if clmod.pallas_enabled(scene.clusters)
-                           else clmod.occluded)
-            occ = occ | cl_occluded(scene.clusters, scene.tri, o, d, t_min, t_max)
+            if clmod.pallas_enabled(scene.clusters):
+                occ = occ | clmod.occluded_pallas(scene.clusters, o, d,
+                                                  t_min, t_max)
+            else:
+                occ = occ | clmod.occluded(scene.clusters, scene.tri, o, d,
+                                           t_min, t_max)
         elif scene.bvh is not None:
             from . import bvh as bvhmod
             occ = occ | bvhmod.traverse_any(scene.bvh, scene.tri, o, d, t_min, t_max)

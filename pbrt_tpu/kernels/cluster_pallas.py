@@ -82,6 +82,15 @@ def _same_sign(w0, w1, w2):
     return (w0 * w1 >= 0) & (w1 * w2 >= 0) & (w0 * w2 >= 0)
 
 
+def _hit_mask(w0, w1, w2, nd):
+    """Sign-consistency + orientation in 6 VPU ops: a ray pierces the
+    triangle iff every signed volume w_i carries nd's sign (either
+    orientation), i.e. min_i(w_i·nd) >= 0. Zeros (edge grazes) count as
+    hits like _same_sign; the nd == 0 degenerate/parallel case passes
+    here but dies at the t-window test (t becomes ±inf/NaN)."""
+    return jnp.minimum(jnp.minimum(w0 * nd, w1 * nd), w2 * nd) >= 0.0
+
+
 def _recip(x, approx):
     """Reciprocal — approximate (fast VPU op) on real TPU, exact in
     interpret mode and wherever exactness is required."""
@@ -100,7 +109,10 @@ PRECISION = os.environ.get("PBRT_TPU_MXU_PRECISION", "bf16x3f")
 
 
 def _dot_tn(A, B, precision):
-    """(ka, m) x (kb, n) contracted over dim 0 → (m, n)."""
+    """(ka, m) x (kb, n) contracted over dim 0 → (m, n). (Mosaic
+    requires a 32-bit accumulator; a bf16 output to halve the MXU
+    output streaming — the measured kernel bound — is rejected by the
+    tpu.matmul verifier.)"""
     return jax.lax.dot_general(A, B, (((0,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32,
                                precision=precision)
@@ -306,20 +318,21 @@ def _make_closest_kernel(tile, k, approx=True):
                 def compute(args):
                     t_best, best_slot, tb12 = args
                     w0, w1, w2, nd, tnum = _round_planes(L_T, scratch[cur], k)
-                    same = _same_sign(w0, w1, w2)
-                    ndok = jnp.abs(nd) > _EPS
                     # approximate reciprocal for the per-slot t (the
                     # winner's exact t is recovered by one true division
-                    # in `extract`)
-                    t = tnum * _recip(jnp.where(ndok, nd, _EPS), approx)
-                    ok = same & ndok & (t > tmin) & (t < t_best)
-                    t = jnp.where(ok, t, INF)
+                    # in `extract`); nd == 0 → t = ±inf/NaN → no key.
+                    t = tnum * _recip(nd, approx)
+                    ok = _hit_mask(w0, w1, w2, nd) & (t > tmin)
                     # pack (t, slot) into one int key: a single min-reduce
                     # yields both the (slightly conservative) best t and
                     # the winning lane. t > tmin ≥ 0 keeps the f32 bit
-                    # pattern order-preserving as int32.
+                    # pattern order-preserving as int32; misses carry
+                    # INT32_MAX. The t < t_best window check happens once
+                    # on the (1, TILE) row (`upd`), not per slot: the
+                    # round's min-t candidate is the only one that matters.
                     t_bits = jax.lax.bitcast_convert_type(t, jnp.int32)
-                    key = (t_bits & ~jnp.int32(SLOT_MASK)) | slot_iota
+                    key = jnp.where(ok, (t_bits & ~jnp.int32(SLOT_MASK)) | slot_iota,
+                                    jnp.int32(0x7FFFFFFF))
                     kmin = jnp.min(key, axis=0, keepdims=True)   # (1, TILE)
                     tj = jax.lax.bitcast_convert_type(
                         kmin & ~jnp.int32(SLOT_MASK), jnp.float32)
@@ -332,7 +345,7 @@ def _make_closest_kernel(tile, k, approx=True):
                         # so no host-side Möller–Trumbore finalize pass
                         # (and none of its random vertex gathers) is
                         # needed. Only runs on rounds that improved a lane.
-                        sel = (slot_iota == (kmin & SLOT_MASK)) & (t < INF)
+                        sel = key == kmin
                         selw = lambda a: jnp.sum(jnp.where(sel, a, 0.0),
                                                  axis=0, keepdims=True)
                         # exact plane t for the winner: one true division
@@ -436,10 +449,8 @@ def _make_anyhit_kernel(tile, k, approx=True):
                 _wait_round(packed_ref, scratch, sems, cur)
 
                 w0, w1, w2, nd, tnum = _round_planes(L_T, scratch[cur], k)
-                same = _same_sign(w0, w1, w2)
-                ndok = jnp.abs(nd) > _EPS
-                t = tnum * _recip(jnp.where(ndok, nd, _EPS), approx)
-                ok = same & ndok & (t > tmin) & (t < tmax)
+                t = tnum * _recip(nd, approx)
+                ok = _hit_mask(w0, w1, w2, nd) & (t > tmin) & (t < tmax)
                 # occ carried as i32: Mosaic can't legalize (1, TILE)
                 # i1 vectors as while_loop carries.
                 occ = occ | jnp.any(ok, axis=0, keepdims=True).astype(jnp.int32)
@@ -470,16 +481,19 @@ def _make_anyhit_kernel(tile, k, approx=True):
     return kernel
 
 
-def _common_specs(nt, tile, cpad, out_widths):
+def _common_specs(nt, tile, cpad, out_widths, extra_planes=0):
     """(in_specs, out_specs) for the traversal kernels. Each grid step
     covers TPB tiles (the ~3.2µs per-step overhead dominates small
     tiles — profile_overhead.py). counts/corder/tnear ride as per-step
-    SMEM blocks (scalar reads drive the DMA engine)."""
+    SMEM blocks (scalar reads drive the DMA engine). `extra_planes`
+    appends further (nt, 1, TILE) VMEM planes (e.g. the anyhit flag)
+    between the ray planes and the trailing ANY ref, keeping the spec
+    list and the kernel's ref unpacking defined in one place."""
     in_specs = [
         pl.BlockSpec((TPB, 1, 1), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
         pl.BlockSpec((TPB, 1, cpad), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
         pl.BlockSpec((TPB, 1, cpad), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
-    ] + _plane_specs(tile) + [
+    ] + _plane_specs(tile) + _plane_specs(tile)[:1] * extra_planes + [
         pl.BlockSpec(memory_space=pltpu.ANY),
     ]
     out_specs = [
@@ -511,8 +525,8 @@ def traverse_tiles(packed_mxu, planes, corder, tnear, counts, anyhit=None,
     if anyhit is None:
         anyhit = jnp.zeros((nt, 1, tile), jnp.float32)
     cpad = corder.shape[1]
-    in_specs, out_specs = _common_specs(nt, tile, cpad, (1, 1, 2))
-    in_specs.insert(11, _plane_specs(tile)[0])    # anyhit flag plane
+    in_specs, out_specs = _common_specs(nt, tile, cpad, (1, 1, 2),
+                                        extra_planes=1)   # anyhit flag
     t_b, slot, bary = pl.pallas_call(
         _make_closest_kernel(tile, k, approx=not interpret),
         grid=(nt // TPB,), in_specs=in_specs, out_specs=out_specs,

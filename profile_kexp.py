@@ -60,7 +60,7 @@ def main():
     pfilm = jnp.stack([px, py], axis=-1)
     o, d, _ = cam.generate_rays(camera, pfilm, jnp.zeros((hw, 2)), jnp.zeros(hw))
     t_min = jnp.zeros(hw)
-    f_pal = jax.jit(lambda o, d, tmx: clmod.intersect_pallas(cs, tri, o, d, t_min, tmx)[1])
+    f_pal = jax.jit(lambda o, d, tmx: clmod.intersect_pallas(cs, o, d, t_min, tmx)[1])
 
     outp = jax.jit(lambda o, d: clmod.intersect_pallas(
         cs, tri, o, d, t_min, jnp.full((hw,), 1e30)))(o, d)

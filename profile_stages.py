@@ -70,7 +70,7 @@ def main():
     t_max = jnp.full((hw,), 1e30)
     print(f"rays={hw} clusters={cs.n_clusters}")
 
-    f_pal = jax.jit(lambda o, d, tmx: clmod.intersect_pallas(cs, tri, o, d, t_min, tmx))
+    f_pal = jax.jit(lambda o, d, tmx: clmod.intersect_pallas(cs, o, d, t_min, tmx))
     dt, outp = timeit(f_pal, o, d, t_max)
     print(f"pallas primary:   {dt*1e3:8.2f} ms  {hw/dt/1e6:7.2f} Mrays/s")
 
@@ -133,7 +133,7 @@ def main():
     print(f"  prepare+coverage+kernel:      {dt*1e3:8.2f} ms")
 
     # occluded on same rays
-    f_occ = jax.jit(lambda o, d, tmx: clmod.occluded_pallas(cs, tri, o, d, t_min,
+    f_occ = jax.jit(lambda o, d, tmx: clmod.occluded_pallas(cs, o, d, t_min,
                                                             jnp.where(tmx > 0, 1.0, -1.0)))
     dt, _ = timeit(f_occ, p_hit, db, tmx_b)
     print(f"pallas occluded (dist 1.0):     {dt*1e3:8.2f} ms")

@@ -85,7 +85,7 @@ def main():
 
     pallas_ok = cs.cluster_size == 128
     if pallas_ok:
-        f_pal = jax.jit(lambda o, d: clmod.intersect_pallas(cs, tri, o, d, t_min, t_max))
+        f_pal = jax.jit(lambda o, d: clmod.intersect_pallas(cs, o, d, t_min, t_max))
         try:
             dt, outp = timeit(f_pal, o, d)
             print(f"pallas intersect primary: {dt*1e3:8.2f} ms  {n_rays/dt/1e6:7.2f} Mrays/s  hit%={float(jnp.mean(outp[0])):.3f}")

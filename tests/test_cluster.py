@@ -75,7 +75,7 @@ def test_pallas_fused_intersect_occluded_matches_separate():
     tmax_sh = jnp.asarray(np.where(r.rand(400) < 0.2, -1.0, 6.0), jnp.float32)
 
     (ph, pt, pi, _, _), occ = clmod.intersect_occluded_pallas(
-        cs, tri, o, d, t_min, t_max, o_sh, d_sh, tmin_sh, tmax_sh,
+        cs, o, d, t_min, t_max, o_sh, d_sh, tmin_sh, tmax_sh,
         interpret=True)
     bh, bt, bi, _, _ = trimod.intersect_brute(tri, o, d, t_min, t_max)
     occ_b = trimod.occluded_brute(tri, o_sh, d_sh, tmin_sh, tmax_sh)
@@ -101,7 +101,7 @@ def test_pallas_kernel_interpret_matches_brute():
     t_min = jnp.full((700,), 1e-4, jnp.float32)
     t_max = jnp.full((700,), np.inf, jnp.float32)
     bh, bt, bi, bb1, bb2 = trimod.intersect_brute(tri, o, d, t_min, t_max)
-    ph, pt, pi, pb1, pb2 = clmod.intersect_pallas(cs, tri, o, d, t_min, t_max,
+    ph, pt, pi, pb1, pb2 = clmod.intersect_pallas(cs, o, d, t_min, t_max,
                                                   interpret=True)
     assert (np.asarray(bh) == np.asarray(ph)).mean() > 0.995
     both = np.asarray(bh) & np.asarray(ph)
