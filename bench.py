@@ -50,7 +50,8 @@ def main():
         sample_idx = (jnp.arange(spp_batch, dtype=jnp.uint32) + sample_lo)[:, None] \
             * jnp.ones((1, hw), jnp.uint32)
         li_fn = lambda sc, o, d, pid, sid: path.li(sc, o, d, pid, sid, cfg,
-                                                   return_stats=True, cone=cone)
+                                                   return_stats=True, cone=cone,
+                                                   compact_from=1)
         (rad, stats), wt = _render_lanes(scene, camera, cfg, li_fn, pixel_id, sample_idx)
         return jnp.sum(rad * wt[..., None], axis=0), stats["rays_traced"]
 

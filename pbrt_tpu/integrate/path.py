@@ -45,6 +45,47 @@ from ..shade import materials as matmod
 from . import common
 
 
+# sample-dimension slot of the compaction subset draw (own per-bounce
+# block well past the SSS stream, like path_sss.DIM_SSS)
+DIM_COMPACT = 8000
+
+
+def _compact_width(n0, bounce, compact_from, floor=2048):
+    """Static wavefront width for `bounce`: halves each bounce past
+    `compact_from`, capped at n0/16, floored at `floor` lanes."""
+    shift = min(bounce - compact_from + 1, 4)
+    return max(min(n0 >> shift, n0), min(floor, n0))
+
+
+def _gather_packed(order, arrays):
+    """Permute many per-lane arrays with ONE wide-row gather (TPU gather
+    cost is per-row — 20 narrow gathers would cost 20x). Ints/bools ride
+    as f32 bit patterns (gather copies bits; no arithmetic touches
+    them)."""
+    cols, meta = [], []
+    for a in arrays:
+        a2 = a[:, None] if a.ndim == 1 else a
+        meta.append((a.dtype, a.ndim, a2.shape[1]))
+        if a.dtype == jnp.bool_:
+            a2 = a2.astype(Float)
+        elif a2.dtype != Float:
+            a2 = jax.lax.bitcast_convert_type(a2, Float)
+        cols.append(a2)
+    out = jnp.concatenate(cols, axis=1)[order]
+    res, i = [], 0
+    for dtype, nd, k in meta:
+        c = out[:, i:i + k]
+        i += k
+        if dtype == jnp.bool_:
+            c = c > 0.5
+        elif dtype != Float:
+            c = jax.lax.bitcast_convert_type(c, dtype)
+        if nd == 1:
+            c = c[:, 0]
+        res.append(c)
+    return res
+
+
 def default_provider(cfg, pixel_id, sample_idx):
     """Sample provider: (bounce, slot) → uniforms from the stateless
     sampler. MLT substitutes a primary-sample-vector provider (mlt.py)."""
@@ -85,17 +126,28 @@ def _emission_pickup(scene, lights, cfg, hit, d, prev_p, prev_pdf, prev_spec,
 
 
 def li(scene, o, d, pixel_id, sample_idx, cfg, rr_start=3, return_stats=False,
-      provider=None, cone=None):
+      provider=None, cone=None, compact_from=None):
     lights = scene.lights
     kinds = scene.materials.kinds_present
     shp = pixel_id.shape
     sample1, sample2 = provider if provider is not None else \
         default_provider(cfg, pixel_id, sample_idx)
+    # wavefront compaction rebinds the sampler to the surviving lanes'
+    # (pixel, sample) ids — only possible for the default provider
+    # (MLT's PSS provider closes over lane-indexed mutation state)
+    do_compact = compact_from is not None and provider is None
 
     n = int(jnp.size(pixel_id))
+    n0 = n
+    pixel_id = pixel_id.reshape(n)
+    sample_idx = jnp.broadcast_to(sample_idx, shp).reshape(n)
+    if provider is None:       # rebind to the flattened ids
+        sample1, sample2 = default_provider(cfg, pixel_id, sample_idx)
+        flat = lambda a: a     # provider outputs are already lane-major
+    else:
+        flat = lambda a: a.reshape((n,) + a.shape[len(shp):])
     o = o.reshape(n, 3)
     d = d.reshape(n, 3)
-    flat = lambda a: a.reshape((n,) + a.shape[len(shp):])
 
     L = jnp.zeros((n, 3), Float)
     beta = jnp.ones((n, 3), Float)
@@ -118,9 +170,54 @@ def li(scene, o, d, pixel_id, sample_idx, cfg, rr_start=3, return_stats=False,
     hit = scenemod.intersect(scene, o, d)
     rays_traced = rays_traced + n
 
+    # lane → original-frame index (compaction bookkeeping); L_out holds
+    # radiance of lanes that were dropped by an earlier compaction
+    gid = jnp.arange(n, dtype=jnp.int32)
+    L_out = None
+
     for bounce in range(cfg.max_depth):
+        # --- wavefront compaction: occupancy collapses geometrically
+        # ([1, .5, .2, .1, .01] on the bench scene), but shading, NEE
+        # and the traversal's fixed costs all scale with the STATIC lane
+        # count. Shrink the wavefront on a static width schedule: keep a
+        # uniformly-random subset of the live lanes (plus inert filler)
+        # and scale survivors by live/kept — plain Russian roulette with
+        # survival probability kept/live, so the estimator stays
+        # unbiased; when live ≤ width (the common case, schedule chosen
+        # above typical occupancy) nothing is killed and the render is
+        # unchanged (path.rs:200-207 is the same lever, per-path).
+        if do_compact and bounce >= compact_from:
+            m = _compact_width(n0, bounce, compact_from)
+            if m < n:
+                u_c = sample1(bounce, DIM_COMPACT)
+                key = jnp.where(active, u_c, 2.0)       # dead sort last
+                order = jnp.argsort(key)[:m]
+                live_n = jnp.sum(active.astype(Float))
+                if L_out is None:
+                    L_out = jnp.zeros((n0, 3), Float)
+                L_out = L_out.at[gid].add(L, unique_indices=True)
+                (beta, eta_scale, cone_w, cone_s, pixel_id, sample_idx,
+                 active, gid, d, prev_p, prev_pdf, prev_spec,
+                 hv, ht, hp, hng, hns, huv, hdpdu, hwo,
+                 hmat, hlid, hpk, hpid, huvs) = _gather_packed(order, [
+                     beta, eta_scale, cone_w, cone_s, pixel_id, sample_idx,
+                     active, gid, d, prev_p, prev_pdf, prev_spec,
+                     hit.valid, hit.t, hit.p, hit.ng,
+                     hit.ns, hit.uv, hit.dpdu, hit.wo, hit.material_id,
+                     hit.light_id, hit.prim_kind, hit.prim_id, hit.uv_scale])
+                hit = scenemod.Hit(valid=hv, t=ht, p=hp, ng=hng, ns=hns,
+                                   uv=huv, dpdu=hdpdu, wo=hwo, material_id=hmat,
+                                   light_id=hlid, prim_kind=hpk, prim_id=hpid,
+                                   uv_scale=huvs)
+                L = jnp.zeros((m, 3), Float)
+                # RR compensation when live lanes exceeded the width
+                scale = jnp.maximum(1.0, live_n / m)
+                beta = jnp.where(active[..., None], beta * scale, beta)
+                n = m
+                sample1, sample2 = default_provider(cfg, pixel_id, sample_idx)
+
         wo = -d
-        occupancy.append(jnp.sum(active.astype(Float)) / n)
+        occupancy.append(jnp.sum(active.astype(Float)) / n0)
 
         # Emission at this vertex, MIS vs NEE at the PREVIOUS vertex
         L = L + beta * _emission_pickup(scene, lights, cfg, hit, d, prev_p,
@@ -145,7 +242,7 @@ def li(scene, o, d, pixel_id, sample_idx, cfg, rr_start=3, return_stats=False,
         nee_c, o_sh, wi_sh, tmax_sh, usable, ls = common.nee_light_defer(
             scene, lights, lp, kinds, frame, hit.p, hit.ns, hit.ng, wo,
             lt, u_light, active)
-        rays_traced = rays_traced + jnp.sum(active.astype(Float))
+        rays_traced = rays_traced + jnp.sum(usable.astype(Float))
         # fold beta and the selection pmf now — beta mutates below
         nee_c = jnp.where(active[..., None],
                           beta * nee_c / jnp.maximum(pmf, 1e-12)[..., None],
@@ -239,6 +336,8 @@ def li(scene, o, d, pixel_id, sample_idx, cfg, rr_start=3, return_stats=False,
     L = L + beta * _emission_pickup(scene, lights, cfg, hit, d, prev_p,
                                     prev_pdf, prev_spec, active)
 
+    if L_out is not None:      # fold compacted frames back to lane order
+        L = L_out.at[gid].add(L, unique_indices=True)
     L = L.reshape(shp + (3,))
     if return_stats:
         return L, {"rays_traced": rays_traced,
@@ -246,10 +345,10 @@ def li(scene, o, d, pixel_id, sample_idx, cfg, rr_start=3, return_stats=False,
     return L
 
 
-def make_li(cfg, rr_start=3, camera=None):
+def make_li(cfg, rr_start=3, camera=None, compact_from=None):
     cone = None
     if camera is not None:
         from ..cameras import cameras as cammod
         cone = cammod.cone_start(camera)
     return lambda scene, o, d, pid, sid: li(scene, o, d, pid, sid, cfg, rr_start,
-                                            cone=cone)
+                                            cone=cone, compact_from=compact_from)
