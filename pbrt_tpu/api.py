@@ -165,6 +165,15 @@ class SceneBuilder:
                                  material, light)
 
     # ---- media ---------------------------------------------------------
+    def medium_interface(self, material, inside=-1, outside=0):
+        """Per-primitive medium interface on `material` (primitive.rs
+        MediumInterface semantics): medium id entered when transmitting
+        into / out of surfaces carrying this material; -1 = vacuum.
+        Consumed by volpath's transmission step."""
+        self._materials[material]["med_inside"] = int(inside)
+        self._materials[material]["med_outside"] = int(outside)
+        return material
+
     def set_homogeneous_medium(self, sigma_a, sigma_s, g=0.0):
         """Global scene-filling homogeneous medium (BASELINE config 4)."""
         from .shade import media as medmod

@@ -559,7 +559,13 @@ def _pallas_inputs(cs, comp, os_, ds_, interpret=False):
     cmax = int(os.environ.get("PBRT_TPU_CMAX", 0))
     if cmax and cmax < corder.shape[1]:
         # timing probe / coverage cap: only the nearest cmax clusters
-        # per tile are traversed (may miss hits on overflow tiles)
+        # per tile are traversed (MAY MISS HITS on overflow tiles) —
+        # never allow it to silently poison a correctness run
+        import warnings
+        warnings.warn(
+            f"PBRT_TPU_CMAX={cmax} caps per-tile cluster coverage below "
+            f"the worst case ({corder.shape[1]}); hits may be missed — "
+            "timing probes only", stacklevel=2)
         corder = corder[:, :cmax]
         tnear_sorted = tnear_sorted[:, :cmax]
         counts = jnp.minimum(counts, cmax)

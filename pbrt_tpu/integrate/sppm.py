@@ -47,6 +47,7 @@ class SPPMConfig(NamedTuple):
     # (sort-by-cell hash grid, sppm.rs:300-355 analog), or "auto"
     gather: str = "auto"
     max_photons_per_cell: int = 32
+    return_stats: bool = False   # render() → (img, {"photons_dropped"})
 
 
 def _camera_pass(scene, camera, cfg, it):
@@ -350,11 +351,12 @@ def render(scene, camera, cfg: SPPMConfig):
         ld, vp = _camera_pass(scene, camera, cfg, it)
         ph_p, ph_wi, ph_beta, ph_ok = _photon_pass(scene, cfg, it, power_dist)
         if method == "grid":
-            phi, m, _dropped = _gather_grid(scene, vp, radius2, ph_p, ph_wi,
-                                            ph_beta, ph_ok,
-                                            cfg.max_photons_per_cell)
+            phi, m, dropped = _gather_grid(scene, vp, radius2, ph_p, ph_wi,
+                                           ph_beta, ph_ok,
+                                           cfg.max_photons_per_cell)
         else:
             phi, m = _gather(scene, vp, radius2, ph_p, ph_wi, ph_beta, ph_ok)
+            dropped = jnp.zeros((), Int)   # dense gather is exact
         # radius/flux update (sppm.rs:500-527)
         has = m > 0
         n_new = n_acc + cfg.alpha * m
@@ -362,14 +364,30 @@ def render(scene, camera, cfg: SPPMConfig):
         r2_new = jnp.where(has, radius2 * ratio, radius2)
         tau_new = jnp.where(has[..., None],
                             (tau + vp["beta"] * phi) * ratio[..., None], tau)
-        return ld, r2_new, n_new, tau_new
+        return ld, r2_new, n_new, tau_new, dropped
 
+    dropped_total = 0
     for it in range(cfg.n_iterations):
-        ld, radius2, n_acc, tau = one_iter(scene, camera, jnp.uint32(it),
-                                           radius2, n_acc, tau)
+        ld, radius2, n_acc, tau, dropped = one_iter(scene, camera,
+                                                    jnp.uint32(it),
+                                                    radius2, n_acc, tau)
         ld_acc = ld_acc + ld
+        dropped_total += int(dropped)
+
+    if dropped_total:
+        # the 'no silent caps' contract (sppm.rs linked lists are
+        # unbounded; our sorted-segment scan is not): surface overflow
+        import logging
+        logging.getLogger(__name__).warning(
+            "SPPM grid gather dropped %d photon-cell entries "
+            "(max_photons_per_cell=%d too small for the photon density); "
+            "radiance is underestimated near bright caustics",
+            dropped_total, cfg.max_photons_per_cell)
 
     n_photons_total = cfg.n_iterations * cfg.photons_per_iter
     l_indirect = tau / (n_photons_total * PI * jnp.maximum(radius2[..., None], 1e-12))
     img = ld_acc / cfg.n_iterations + l_indirect
-    return img.reshape(h, w, 3)
+    img = img.reshape(h, w, 3)
+    if cfg.return_stats:
+        return img, {"photons_dropped": dropped_total}
+    return img

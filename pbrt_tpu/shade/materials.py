@@ -89,6 +89,12 @@ class MaterialTable:
     # shade/fourier.FourierTable when the scene has MAT_FOURIER rows
     # (reflection.rs:1282-1300; one measured table per scene)
     fourier_table: Any = None
+    # per-material medium interface (primitive.rs MediumInterface /
+    # medium.rs semantics): medium id entered when transmitting INTO the
+    # surface (against ng) / OUT of it; -1 = vacuum. None (no row sets
+    # one) keeps volpath's global-medium behavior.
+    med_inside: Any = None   # (M,) int32 or None
+    med_outside: Any = None  # (M,) int32 or None
 
     @property
     def count(self):
@@ -117,6 +123,9 @@ def build_materials(rows):
     for r in rows:
         if int(r["kind"]) == MAT_FOURIER:
             fourier_table = r.get("fourier_table")
+    has_iface = any("med_inside" in r or "med_outside" in r for r in rows)
+    med_inside = icol("med_inside", -1) if has_iface else None
+    med_outside = icol("med_outside", -1) if has_iface else None
     sss_table = None
     if MAT_SUBSURFACE in kinds:
         from . import bssrdf as bssr
@@ -142,6 +151,8 @@ def build_materials(rows):
         tex_channels=tex_channels,
         sss_table=sss_table,
         fourier_table=fourier_table,
+        med_inside=med_inside,
+        med_outside=med_outside,
     )
 
 

@@ -55,10 +55,19 @@ class TextureTable:
     ref1: jnp.ndarray       # (K,) int32 nested texture id (-1 → v1)
     ref2: jnp.ndarray       # (K,) int32 nested texture id (-1 → v2)
     atlas_slot: jnp.ndarray  # (K,) int32 image atlas slot or -1
-    # mip atlas: (S, L, H, W, 3) padded pyramid (L levels, dyadic)
+    # mip atlas: flat QUAD-PACKED chain (S, T, 12). Entry (slot,
+    # lvl_off[l] + y*sz_l + x) holds the texel's whole 2x2 wrap-around
+    # neighborhood [c00 c01 c10 c11] (3 channels each), so one bilinear
+    # tap = ONE row gather instead of four (TPU gather cost is per-row;
+    # the 4x texel duplication costs 4/3 of a plain chain and far less
+    # than the old repeat-upsampled (S,L,H,W,3) pyramid). Levels are
+    # stored at their own dyadic size (mipmap.rs:76-181 pyramid).
     atlas: jnp.ndarray
     atlas_sizes: jnp.ndarray  # (S, 2) int32 base (h, w)
+    lvl_size: jnp.ndarray     # (L,) int32 per-level edge length
+    lvl_off: jnp.ndarray      # (L,) int32 per-level flat offset
     kinds_present: tuple = field(metadata=dict(static=True), default=())
+    atlas_base: int = field(metadata=dict(static=True), default=1)
 
     @property
     def count(self):
@@ -126,7 +135,7 @@ class TextureBuilder:
         def icol(key, default):
             return jnp.asarray(np.array([r.get(key, default) for r in self.rows], np.int32))
 
-        atlas, sizes = _build_atlas(self.images)
+        atlas, sizes, lvl_size, lvl_off, base = _build_atlas(self.images)
         return TextureTable(
             kind=icol("kind", TEX_CONSTANT),
             v1=col("v1", 1.0, (3,)), v2=col("v2", 0.0, (3,)),
@@ -137,20 +146,38 @@ class TextureBuilder:
             ref1=icol("ref1", -1), ref2=icol("ref2", -1),
             atlas_slot=icol("atlas_slot", -1),
             atlas=atlas, atlas_sizes=sizes,
+            lvl_size=lvl_size, lvl_off=lvl_off, atlas_base=base,
             kinds_present=tuple(sorted({int(r.get("kind", 0)) for r in self.rows})),
         )
 
 
+def _quad_pack(level):
+    """(sz, sz, 3) → (sz·sz, 12): each texel with its wrap-around 2x2
+    neighborhood [c00 c01 c10 c11] (the 4 bilinear corners for any
+    sample point whose floor cell is this texel)."""
+    right = np.roll(level, -1, axis=1)
+    down = np.roll(level, -1, axis=0)
+    diag = np.roll(down, -1, axis=1)
+    q = np.concatenate([level, right, down, diag], axis=-1)
+    return q.reshape(-1, 12)
+
+
 def _build_atlas(images):
     """Pad images to a common pow2 size, build mip pyramids
-    (mipmap.rs:76-181; box-filter downsampling), stack to (S,L,H,W,3)."""
+    (mipmap.rs:76-181; box-filter downsampling), pack each level
+    quad-packed into one flat chain (S, T, 12). Returns
+    (atlas, sizes, lvl_size, lvl_off, base_size)."""
     if not images:
-        return jnp.zeros((1, 1, 1, 1, 3), Float), jnp.ones((1, 2), Int)
+        return (jnp.zeros((1, 1, 12), Float), jnp.ones((1, 2), Int),
+                jnp.ones((1,), Int), jnp.zeros((1,), Int), 1)
     hmax = max(int(2 ** np.ceil(np.log2(i.shape[0]))) for i in images)
     wmax = max(int(2 ** np.ceil(np.log2(i.shape[1]))) for i in images)
     size = max(hmax, wmax)
     levels = int(np.log2(size)) + 1
-    out = np.zeros((len(images), levels, size, size, 3), np.float32)
+    lvl_size = np.array([size >> l for l in range(levels)], np.int32)
+    lvl_off = np.concatenate([[0], np.cumsum(lvl_size.astype(np.int64) ** 2)[:-1]]).astype(np.int32)
+    total = int(np.sum(lvl_size.astype(np.int64) ** 2))
+    out = np.zeros((len(images), total, 12), np.float32)
     sizes = np.zeros((len(images), 2), np.int32)
     for s, img in enumerate(images):
         if img.ndim == 2:
@@ -160,14 +187,14 @@ def _build_atlas(images):
         # resample to (size, size) by nearest (simple; Lanczos later)
         yi = np.clip((np.arange(size) * h / size).astype(int), 0, h - 1)
         xi = np.clip((np.arange(size) * w / size).astype(int), 0, w - 1)
-        base = img[yi][:, xi]
-        out[s, 0] = base
-        cur = base
-        for l in range(1, levels):
-            cur = 0.25 * (cur[0::2, 0::2] + cur[1::2, 0::2] + cur[0::2, 1::2] + cur[1::2, 1::2])
-            r = size // cur.shape[0]
-            out[s, l] = np.repeat(np.repeat(cur, r, 0), r, 1)
-    return jnp.asarray(out), jnp.asarray(sizes)
+        cur = img[yi][:, xi].astype(np.float32)
+        for l in range(levels):
+            out[s, lvl_off[l]:lvl_off[l] + lvl_size[l] ** 2] = _quad_pack(cur)
+            if l + 1 < levels:
+                cur = 0.25 * (cur[0::2, 0::2] + cur[1::2, 0::2]
+                              + cur[0::2, 1::2] + cur[1::2, 1::2])
+    return (jnp.asarray(out), jnp.asarray(sizes),
+            jnp.asarray(lvl_size), jnp.asarray(lvl_off), size)
 
 
 # ------------------------------------------------------------ noise
@@ -230,13 +257,12 @@ def turbulence(p, octaves, omega):
 
 # ------------------------------------------------------------ evaluate
 
-def _level_bilinear(atlas, slot, level, u, v):
-    """Bilinear lookup at mip `level` (per-lane int). Level l stores the
-    (size >> l) grid upsampled by repeat, so coarse texel (i, j) lives at
-    stored index (i·2^l, j·2^l)."""
-    size = atlas.shape[2]
-    r = jnp.left_shift(jnp.ones_like(level), level)       # 2^level
-    sz = size // jnp.maximum(r, 1)
+def _level_bilinear(tex, slot, level, u, v):
+    """Bilinear lookup at mip `level` (per-lane int): ONE row gather of
+    the quad-packed chain yields all four corners (see TextureTable
+    docstring)."""
+    sz = tex.lvl_size[level]
+    off = tex.lvl_off[level]
     szf = sz.astype(Float)
     x = u * szf - 0.5
     y = v * szf - 0.5
@@ -245,13 +271,10 @@ def _level_bilinear(atlas, slot, level, u, v):
     fx = (x - x0.astype(Float))[..., None]
     fy = (y - y0.astype(Float))[..., None]
     x0w = jnp.mod(x0, sz)                                 # wrap (uv % 1 tiling)
-    x1w = jnp.mod(x0 + 1, sz)
     y0w = jnp.mod(y0, sz)
-    y1w = jnp.mod(y0 + 1, sz)
-    c00 = atlas[slot, level, y0w * r, x0w * r]
-    c01 = atlas[slot, level, y0w * r, x1w * r]
-    c10 = atlas[slot, level, y1w * r, x0w * r]
-    c11 = atlas[slot, level, y1w * r, x1w * r]
+    q = tex.atlas[slot, off + y0w * sz + x0w]             # (..., 12)
+    c00, c01 = q[..., 0:3], q[..., 3:6]
+    c10, c11 = q[..., 6:9], q[..., 9:12]
     return (1 - fy) * ((1 - fx) * c00 + fx * c01) + fy * ((1 - fx) * c10 + fx * c11)
 
 
@@ -259,18 +282,17 @@ def _image_lookup(tex: TextureTable, slot, uv, lod=None):
     """Mipmapped atlas lookup: bilinear at level 0 when no LOD is given,
     trilinear between the two bracketing levels otherwise
     (mipmap.rs:215-232 MIPMap::lookup triangle-filter semantics)."""
-    atlas = tex.atlas
-    s, n_levels = atlas.shape[0], atlas.shape[1]
+    s, n_levels = tex.atlas.shape[0], tex.lvl_size.shape[0]
     slot = jnp.clip(slot, 0, s - 1)
     u = uv[..., 0] % 1.0
     v = uv[..., 1] % 1.0
     if lod is None:
-        return _level_bilinear(atlas, slot, jnp.zeros_like(slot), u, v)
+        return _level_bilinear(tex, slot, jnp.zeros_like(slot), u, v)
     lod = jnp.clip(lod, 0.0, n_levels - 1 - 1e-4)
     l0 = jnp.floor(lod).astype(Int)
     fl = (lod - l0.astype(Float))[..., None]
-    c0 = _level_bilinear(atlas, slot, l0, u, v)
-    c1 = _level_bilinear(atlas, slot, jnp.minimum(l0 + 1, n_levels - 1), u, v)
+    c0 = _level_bilinear(tex, slot, l0, u, v)
+    c1 = _level_bilinear(tex, slot, jnp.minimum(l0 + 1, n_levels - 1), u, v)
     return (1.0 - fl) * c0 + fl * c1
 
 
@@ -352,7 +374,7 @@ def evaluate(tex: TextureTable, tid, uv, p, _depth=0, fp=None):
         lod = None
         if fp is not None:
             # footprint in texels of the base level → mip level
-            size = tex.atlas.shape[2]
+            size = tex.atlas_base
             fp_tex = fp * jnp.maximum(su, sv) * size
             lod = jnp.log2(jnp.maximum(fp_tex, 1.0))
         img = _image_lookup(tex, tex.atlas_slot[t], suv, lod=lod)
