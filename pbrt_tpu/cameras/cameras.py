@@ -120,12 +120,30 @@ def cone_start(camera):
     return jnp.zeros((), Float), jnp.asarray(PI / h, Float)
 
 
+def generate_rays_weighted(camera, pfilm, u_lens, u_time):
+    """Batched ray generation with a per-ray weight: 1 for the analytic
+    cameras, the lens-stack vignetting indicator for RealisticCamera
+    (realistic.rs:200-230 returns weight 0 for rays the element stack
+    rejects). Returns (o, d, time, weight)."""
+    from . import realistic as realmod
+    if isinstance(camera, realmod.RealisticCamera):
+        o, d, time, ok = realmod.generate_rays(camera, pfilm, u_lens, u_time)
+        return o, d, time, ok.astype(Float)
+    o, d, time = generate_rays(camera, pfilm, u_lens, u_time)
+    return o, d, time, jnp.ones(pfilm.shape[:-1], Float)
+
+
 def generate_rays(camera, pfilm, u_lens, u_time):
     """Batched ray generation.
 
     pfilm: (..., 2) continuous raster positions; u_lens: (..., 2);
     u_time: (...,). Returns (o, d, time) with o/d (..., 3) world-space.
+    (Use generate_rays_weighted for cameras that can reject rays.)
     """
+    from . import realistic as realmod
+    if isinstance(camera, realmod.RealisticCamera):
+        o, d, time, _ok = realmod.generate_rays(camera, pfilm, u_lens, u_time)
+        return o, d, time
     time = camera.shutter_open + u_time * (camera.shutter_close - camera.shutter_open)
     if isinstance(camera, EnvironmentCamera):
         h, w = camera.resolution

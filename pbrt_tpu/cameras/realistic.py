@@ -33,6 +33,7 @@ class RealisticCamera(NamedTuple):
     exit_pupil: jnp.ndarray         # (P, 4) bounds per film-radius bin
     shutter_open: jnp.ndarray
     shutter_close: jnp.ndarray
+    res_wh: jnp.ndarray             # (2,) [w, h] as f32 (jit-safe)
     resolution: tuple
 
 
@@ -64,72 +65,107 @@ def make_realistic(camera_to_world, lens_elements, resolution, film_diag=0.035,
         exit_pupil=jnp.zeros((1, 4), Float),
         shutter_open=jnp.asarray(shutter_open, Float),
         shutter_close=jnp.asarray(shutter_close, Float),
+        res_wh=jnp.asarray([resolution[1], resolution[0]], Float),
         resolution=tuple(resolution))
     cam = _focus(cam, focus_distance)
     cam = cam._replace(exit_pupil=_compute_exit_pupil(cam))
     return cam
 
 
+def _surface_media(cam, i):
+    """(film-side eta, scene-side eta) of surface i. Lens tables use the
+    pbrt .dat convention: row i's eta is the medium BETWEEN surfaces i
+    and i+1 (the film side of surface i); the scene side of surface i is
+    row i-1's medium (air before the front surface)."""
+    film_eta = cam.eta[i]
+    scene_eta = cam.eta[i - 1] if i > 0 else jnp.ones((), Float)
+    return film_eta, scene_eta
+
+
+def _trace_element(cam, i, o, d, ok, from_film):
+    """One element interaction (intersect + aperture clip + refract),
+    shared by both trace directions (realistic.rs:120-210)."""
+    r = cam.curvature_radius[i]
+    z_el = cam.z_front[i]
+    is_stop = r == 0.0
+    zc = z_el + r                              # sphere center
+    oc = o - jnp.array([0.0, 0.0, 1.0], Float) * zc
+    a = vm.dot(d, d)
+    b = 2.0 * vm.dot(oc, d)
+    c = vm.dot(oc, oc) - r * r
+    has, t0, t1 = quadratic(a, b, c)
+    # root on the correct side of the element vertex:
+    # closer root iff (d.z > 0) XOR (r < 0) (realistic.rs:150-170)
+    use_closer = (d[..., 2] > 0) ^ (r < 0)
+    t_sph = jnp.where(use_closer, t0, t1)
+    t_stop = (z_el - o[..., 2]) / jnp.where(jnp.abs(d[..., 2]) > 1e-9,
+                                            d[..., 2], 1e-9)
+    t = jnp.where(is_stop, t_stop, t_sph)
+    elem_ok = jnp.where(is_stop, jnp.abs(d[..., 2]) > 1e-9, has & (t > 0))
+    p = o + t[..., None] * d
+    r2 = p[..., 0] ** 2 + p[..., 1] ** 2
+    elem_ok = elem_ok & (r2 <= cam.aperture_radius[i] ** 2)
+    n_vec = vm.normalize(p - jnp.array([0.0, 0.0, 1.0], Float) * zc)
+    n_vec = vm.face_forward(n_vec, -d)
+    film_eta, scene_eta = _surface_media(cam, i)
+    eta_i, eta_t = (film_eta, scene_eta) if from_film else (scene_eta, film_eta)
+    refr_ok, wt = vm.refract(-d, n_vec,
+                             jnp.broadcast_to(eta_i / eta_t, o.shape[:-1]))
+    d_new = jnp.where(is_stop, d, jnp.where(refr_ok[..., None], wt, d))
+    elem_ok = elem_ok & jnp.where(is_stop, True, refr_ok)
+    o = jnp.where(elem_ok[..., None], p, o)
+    d = jnp.where(elem_ok[..., None], vm.normalize(d_new), d)
+    return ok & elem_ok, o, d
+
+
 def _trace_lenses_from_film(cam, o, d):
-    """Trace rays (film side, +z → -z) through the element stack
+    """Trace rays (film side, toward -z) through the element stack
     (realistic.rs trace_lenses_from_film). Returns (ok, o, d)."""
     n_el = cam.curvature_radius.shape[0]
     ok = jnp.ones(o.shape[:-1], bool)
-    eta_prev = jnp.ones(o.shape[:-1], Float)
     for i in range(n_el - 1, -1, -1):
-        r = cam.curvature_radius[i]
-        z_el = cam.z_front[i]
-        is_stop = r == 0.0
-        # sphere centered at z_el + r
-        zc = z_el + r
-        oc = o - jnp.array([0.0, 0.0, 1.0], Float) * zc
-        a = vm.dot(d, d)
-        b = 2.0 * vm.dot(oc, d)
-        c = vm.dot(oc, oc) - r * r
-        has, t0, t1 = quadratic(a, b, c)
-        # pick the root on the correct side of the element vertex:
-        # closer root iff (d.z > 0) XOR (r < 0) (realistic.rs:150-170)
-        use_closer = (d[..., 2] > 0) ^ (r < 0)
-        t_sph = jnp.where(use_closer, t0, t1)
-        t_stop = (z_el - o[..., 2]) / jnp.where(jnp.abs(d[..., 2]) > 1e-9, d[..., 2], 1e-9)
-        t = jnp.where(is_stop, t_stop, t_sph)
-        elem_ok = jnp.where(is_stop, jnp.abs(d[..., 2]) > 1e-9, has & (t > 0))
-        p = o + t[..., None] * d
-        r2 = p[..., 0] ** 2 + p[..., 1] ** 2
-        elem_ok = elem_ok & (r2 <= cam.aperture_radius[i] ** 2)
-        # refract at the interface (skip for stop)
-        n_vec = vm.normalize(p - jnp.array([0.0, 0.0, 1.0], Float) * zc)
-        n_vec = vm.face_forward(n_vec, -d)
-        eta_i = eta_prev
-        eta_t = jnp.where(jnp.broadcast_to(cam.eta[i] != 0, eta_prev.shape),
-                          jnp.broadcast_to(cam.eta[i], eta_prev.shape),
-                          jnp.ones_like(eta_prev))
-        refr_ok, wt = vm.refract(-d, n_vec, eta_i / eta_t)
-        d_new = jnp.where(is_stop, d, jnp.where(refr_ok[..., None], wt, d))
-        elem_ok = elem_ok & jnp.where(is_stop, True, refr_ok)
-        o = jnp.where(elem_ok[..., None], p, o)
-        d = jnp.where(elem_ok[..., None], vm.normalize(d_new), d)
-        ok = ok & elem_ok
-        eta_prev = jnp.where(is_stop, eta_prev, eta_t)
+        ok, o, d = _trace_element(cam, i, o, d, ok, from_film=True)
     return ok, o, d
 
 
-def _focus(cam, focus_distance):
-    """Thick-lens autofocus (realistic.rs:240-300): shift the whole
-    stack along z so the plane at `focus_distance` images onto the film.
-    Approximated by searching the film offset that focuses paraxial rays."""
-    # paraxial ray from a point at the focus distance through the center
-    def film_z_error(delta):
-        camd = cam._replace(z_front=cam.z_front - delta)
-        n = 64
-        x = jnp.full((n,), 0.001, Float)
-        o = jnp.stack([x, jnp.zeros(n, Float),
-                       jnp.zeros(n, Float)], -1)
-        o = o.at[:, 2].set(0.0)
-        # backwards trace not needed for approximation; keep offset 0
-        return 0.0
+def _trace_lenses_from_scene(cam, o, d):
+    """Scene-side trace (rays toward +z / the film) — realistic.rs
+    trace_lenses_from_scene; used by focusing and `we`."""
+    n_el = cam.curvature_radius.shape[0]
+    ok = jnp.ones(o.shape[:-1], bool)
+    for i in range(n_el):
+        ok, o, d = _trace_element(cam, i, o, d, ok, from_film=False)
+    return ok, o, d
 
-    return cam  # paraxial shift folded into element z's by construction
+
+def _axial_crossing(cam, focus_distance):
+    """z where near-axis rays from the on-axis object point at
+    -focus_distance cross the axis after the lens (host-side float)."""
+    x = 0.05 * float(np.min(np.asarray(cam.aperture_radius)))
+    z0 = -float(focus_distance)
+    zf = float(np.asarray(cam.z_front)[0])
+    o = jnp.asarray([[0.0, 0.0, z0], [0.0, 0.0, z0]], Float)
+    aim = jnp.asarray([[x * 0.5, 0.0, zf], [x, 0.0, zf]], Float)
+    d = vm.normalize(aim - o)
+    ok, oo, dd = _trace_lenses_from_scene(cam, o, d)
+    if not bool(jnp.all(ok)):
+        raise ValueError("lens stack does not pass near-axis rays; "
+                         "check the element table")
+    t = -oo[:, 0] / dd[:, 0]
+    z_cross = oo[:, 2] + t * dd[:, 2]
+    return float(jnp.mean(z_cross))
+
+
+def _focus(cam, focus_distance):
+    """Thick-lens autofocus (realistic.rs:240-300 semantics): shift the
+    whole stack along z until the on-axis object point at
+    `focus_distance` images onto the film (z = 0). A stack shift moves
+    the axial crossing by exactly the same amount for the exit segment,
+    so a couple of fixed-point steps converge to machine precision."""
+    for _ in range(3):
+        z_cross = _axial_crossing(cam, focus_distance)
+        cam = cam._replace(z_front=cam.z_front - z_cross)
+    return cam
 
 
 def _compute_exit_pupil(cam, n_bins=32, n_samples=512):
@@ -160,12 +196,15 @@ def _compute_exit_pupil(cam, n_bins=32, n_samples=512):
 
 def generate_rays(cam: RealisticCamera, pfilm, u_lens, u_time):
     """Batched raygen through the lens stack. Returns (o, d, time, ok)."""
-    h, w = cam.resolution
+    w, h = cam.res_wh[0], cam.res_wh[1]
     half_diag = cam.film_diag * 0.5
-    aspect = jnp.sqrt(jnp.asarray(float(w) / float(h), Float))
+    aspect = jnp.sqrt(w / h)
     fw = half_diag * aspect * 2.0
     fh = half_diag / aspect * 2.0
-    x = (0.5 - pfilm[..., 0] / w) * fw
+    # film point: physical image inversion happens through the lens; the
+    # trailing 180-deg y-rotation to the shared +z camera convention
+    # absorbs the usual film-x negation (realistic.rs film mapping)
+    x = (pfilm[..., 0] / w - 0.5) * fw
     y = (pfilm[..., 1] / h - 0.5) * fh
     o_film = jnp.stack([x, y, jnp.zeros_like(x)], axis=-1)
 
@@ -185,8 +224,13 @@ def generate_rays(cam: RealisticCamera, pfilm, u_lens, u_time):
     p_rear = jnp.stack([pxr, pyr, jnp.broadcast_to(rear_z, x.shape)], axis=-1)
     d = vm.normalize(p_rear - o_film)
     ok, o_out, d_out = _trace_lenses_from_film(cam, o_film, d)
-    o_w = cam.camera_to_world.apply_point(o_out)
-    d_w = vm.normalize(cam.camera_to_world.apply_vector(d_out))
+    # internal lens space puts the scene at -z; the shared camera-space
+    # convention (perspective camera, camera_to_world) looks down +z.
+    # Rotate 180 deg about y (proper rotation; the lens is rotationally
+    # symmetric): (x, y, z) -> (-x, y, -z).
+    flip = jnp.asarray([-1.0, 1.0, -1.0], Float)
+    o_w = cam.camera_to_world.apply_point(o_out * flip)
+    d_w = vm.normalize(cam.camera_to_world.apply_vector(d_out * flip))
     time = cam.shutter_open + u_time * (cam.shutter_close - cam.shutter_open)
     return o_w, d_w, time, ok
 

@@ -24,7 +24,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..core.types import Float
 from ..core import samplers as smp
-from ..cameras import generate_rays
+from ..cameras import generate_rays_weighted
 from ..film import filters as filtmod
 from ..integrate import driver as drivermod
 
@@ -49,8 +49,10 @@ def _render_lanes(scene, camera, cfg, li_fn, pixel_id, sample_idx):
     pfilm = jnp.stack([px + 0.5 + off[..., 0], py + 0.5 + off[..., 1]], axis=-1)
     u_lens = smp.sample_2d(cfg.sampler, pixel_id, sample_idx, smp.DIM_LENS)
     u_time = smp.sample_1d(cfg.sampler, pixel_id, sample_idx, smp.DIM_TIME)
-    o, d, _t = generate_rays(camera, pfilm, u_lens, u_time)
+    o, d, _t, cw = generate_rays_weighted(camera, pfilm, u_lens, u_time)
     radiance = li_fn(scene, o, d, pixel_id, sample_idx)
+    if not isinstance(radiance, tuple):
+        radiance = radiance * cw[..., None]
     return radiance, fw * jnp.ones(pixel_id.shape, Float)
 
 

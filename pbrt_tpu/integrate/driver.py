@@ -20,7 +20,7 @@ import numpy as np
 
 from ..core.types import Float
 from ..core import samplers as smp
-from ..cameras import generate_rays
+from ..cameras import generate_rays_weighted
 from ..film import film as filmmod
 from ..film import filters as filtmod
 
@@ -55,9 +55,11 @@ def render_batch(scene, camera, cfg: RenderConfig, li_fn, sample_lo, sample_hi):
 
     u_lens = smp.sample_2d(cfg.sampler, pixel_id, sample_idx, smp.DIM_LENS)
     u_time = smp.sample_1d(cfg.sampler, pixel_id, sample_idx, smp.DIM_TIME)
-    o, d, _time = generate_rays(camera, pfilm, u_lens, u_time)
+    o, d, _time, cw = generate_rays_weighted(camera, pfilm, u_lens, u_time)
 
-    radiance = li_fn(scene, o, d, pixel_id, sample_idx)
+    # vignetted lens rays contribute zero radiance but full filter
+    # weight (film.rs add_sample semantics: the sample still lands)
+    radiance = li_fn(scene, o, d, pixel_id, sample_idx) * cw[..., None]
     weight = fw * jnp.ones(pixel_id.shape, Float)
     return radiance, weight
 
