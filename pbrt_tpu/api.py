@@ -36,6 +36,8 @@ class SceneBuilder:
         self._env_to_world = None
         self._media = None
         self._textures = None
+        self._protos = []          # instanced prototype TriangleSoAs
+        self._instances = []       # (proto_id, material, T0, T1 or None)
         self.use_bvh = False
         self.spatial_light_distrib = False
 
@@ -164,6 +166,36 @@ class SceneBuilder:
                                  [max(abs(z_min), abs(z_max)), z_min, z_max, phi_max, a, c],
                                  material, light)
 
+    # ---- instancing ------------------------------------------------------
+    def instanced_prototype(self, vertices, indices, normals=None, uvs=None):
+        """Register a mesh stored ONCE and shared by instances
+        (TransformedPrimitive, primitive.rs:105-177). Returns proto id."""
+        v = np.asarray(vertices, np.float32).reshape(-1, 3)
+        idx = np.asarray(indices, np.int32).reshape(-1, 3)
+        t = len(idx)
+        n = np.asarray(normals, np.float32).reshape(-1, 3) if normals is not None \
+            else np.zeros_like(v)
+        uv = np.asarray(uvs, np.float32).reshape(-1, 2) if uvs is not None \
+            else np.zeros((len(v), 2), np.float32)
+        soa = TriangleSoA(
+            positions=jnp.asarray(v), indices=jnp.asarray(idx),
+            normals=jnp.asarray(n), uvs=jnp.asarray(uv),
+            has_normals=jnp.asarray(np.full(t, normals is not None)),
+            material_id=jnp.zeros(t, jnp.int32),
+            light_id=jnp.full(t, -1, jnp.int32))
+        self._protos.append(soa)
+        return len(self._protos) - 1
+
+    def add_instance(self, proto, material, transform, transform1=None):
+        """Instance `proto` under a 4x4 object-to-world `transform`;
+        `transform1` (optional) is the shutter-close transform — rigid
+        motion blur via per-ray quaternion slerp (transform.rs:2010)."""
+        self._instances.append((int(proto), int(material),
+                                np.asarray(transform, np.float64),
+                                None if transform1 is None
+                                else np.asarray(transform1, np.float64)))
+        return len(self._instances) - 1
+
     # ---- media ---------------------------------------------------------
     def medium_interface(self, material, inside=-1, outside=0):
         """Per-primitive medium interface on `material` (primitive.rs
@@ -278,9 +310,22 @@ class SceneBuilder:
             cluster_set = clmod.build_clusters(np.concatenate(self._verts),
                                                np.concatenate(self._tris))
         textures = self._textures.build() if self._textures is not None else None
+        instance_sets = None
+        if self._instances:
+            from .geom import instances as instmod
+            instance_sets = []
+            for pid, proto in enumerate(self._protos):
+                rows = [r for r in self._instances if r[0] == pid]
+                if not rows:
+                    continue
+                t0s = [r[2] for r in rows]
+                t1s = [r[3] if r[3] is not None else r[2] for r in rows]
+                instance_sets.append(instmod.build_instances(
+                    proto, t0s, [r[1] for r in rows], transforms1=t1s))
         scene = scenemod.make_scene(tri=tri, quad=quad, materials=materials,
                                     lights=lights, media=self._media, bvh=bvh_arrays,
-                                    textures=textures, clusters=cluster_set)
+                                    textures=textures, clusters=cluster_set,
+                                    instances=instance_sets)
         if self.spatial_light_distrib:
             from .lights import distrib as distribmod
             scene = scene._replace(light_distrib=distribmod.build_spatial(scene, lights))

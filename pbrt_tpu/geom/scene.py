@@ -36,10 +36,13 @@ class Scene(NamedTuple):
     light_distrib: Any        # lights.distrib.SpatialLightDistribution or None
     world_center: jnp.ndarray
     world_radius: jnp.ndarray
+    # tuple of geom.instances.InstanceSet (TransformedPrimitive /
+    # AnimatedTransform analog, primitive.rs:105-177) or None
+    instances: Any = None
 
 
 def make_scene(tri=None, quad=None, materials=None, lights=None, media=None, bvh=None,
-               textures=None, clusters=None, light_distrib=None):
+               textures=None, clusters=None, light_distrib=None, instances=None):
     import numpy as np
     tri = tri if tri is not None else empty_triangles()
     if tri.indices.shape[0] and tri.shade_rec is None:
@@ -85,11 +88,28 @@ def make_scene(tri=None, quad=None, materials=None, lights=None, media=None, bvh
         radius = float(np.linalg.norm(hi - center)) + 1e-4
     else:
         center, radius = np.zeros(3), 1.0
+    if instances:
+        for iset in instances:
+            pos = np.asarray(iset.proto.positions)
+            for i in range(iset.count):
+                lin = np.asarray(iset.lin[i])
+                for q, t in ((np.asarray(iset.q0[i]), np.asarray(iset.t0[i])),
+                             (np.asarray(iset.q1[i]), np.asarray(iset.t1[i]))):
+                    w, x, y, z = q
+                    r = np.array([[1-2*(y*y+z*z), 2*(x*y-w*z), 2*(x*z+w*y)],
+                                  [2*(x*y+w*z), 1-2*(x*x+z*z), 2*(y*z-w*x)],
+                                  [2*(x*z-w*y), 2*(y*z+w*x), 1-2*(x*x+y*y)]])
+                    pts.append(pos @ (r @ lin).T + t)
+        allp = np.concatenate(pts, axis=0)
+        lo, hi = allp.min(0), allp.max(0)
+        center = (lo + hi) / 2.0
+        radius = float(np.linalg.norm(hi - center)) + 1e-4
     return Scene(tri=tri, quad=quad, bvh=bvh, clusters=clusters, materials=materials,
                  lights=lights, media=media, textures=textures,
                  light_distrib=light_distrib,
                  world_center=jnp.asarray(center, Float),
-                 world_radius=jnp.asarray(radius, Float))
+                 world_radius=jnp.asarray(radius, Float),
+                 instances=tuple(instances) if instances else None)
 
 
 def _empty_hit(o, d):
@@ -103,7 +123,7 @@ def _empty_hit(o, d):
 
 
 def intersect(scene: Scene, o, d, t_min=None, t_max=None, active=None,
-              _tri_result=None) -> Hit:
+              time=None, _tri_result=None) -> Hit:
     """Closest-hit query for a wavefront of rays o/d (N, 3).
 
     `active` (optional bool mask) marks live lanes: dead lanes get
@@ -185,11 +205,47 @@ def intersect(scene: Scene, o, d, t_min=None, t_max=None, active=None,
                       take, 1.0 / jnp.maximum(scene.quad.params[q_idx, ..., 0], 1e-6),
                       hit.uv_scale))
         best_t = jnp.where(take, q_t, best_t)
+
+    if scene.instances:
+        # TransformedPrimitive pass (primitive.rs:105-177): each instance
+        # masked-merges its object-space hit; `time` drives the
+        # AnimatedTransform interpolation (transform.rs:2010)
+        from . import instances as instmod
+        o_flat = o.reshape(-1, 3)
+        d_flat = d.reshape(-1, 3)
+        t_flat = None if time is None else jnp.broadcast_to(time, n).reshape(-1)
+        for iset in scene.instances:
+            for i in range(iset.count):
+                h_i, t_i, sh = instmod.intersect_one(
+                    iset, i, o_flat, d_flat, t_flat,
+                    t_min.reshape(-1), best_t.reshape(-1))
+                h_i = h_i.reshape(n)
+                t_i = t_i.reshape(n)
+                take = h_i & (t_i < best_t)
+                tk3 = take[..., None]
+                rs = lambda a, k=3: a.reshape(n + ((k,) if k else ()))
+                hit = Hit(valid=hit.valid | take,
+                          t=jnp.where(take, t_i, hit.t),
+                          p=jnp.where(tk3, rs(sh["p"]), hit.p),
+                          ng=jnp.where(tk3, rs(sh["ng"]), hit.ng),
+                          ns=jnp.where(tk3, rs(sh["ns"]), hit.ns),
+                          uv=jnp.where(tk3, rs(sh["uv"], 2)[..., :2], hit.uv),
+                          dpdu=jnp.where(tk3, rs(sh["dpdu"]), hit.dpdu),
+                          wo=hit.wo,
+                          material_id=jnp.where(take, iset.material_id[i],
+                                                hit.material_id),
+                          light_id=hit.light_id,
+                          prim_kind=jnp.where(take, 2, hit.prim_kind),
+                          prim_id=jnp.where(take, rs(sh["prim_id"], 0),
+                                            hit.prim_id),
+                          uv_scale=jnp.where(take, rs(sh["uv_scale"], 0),
+                                             hit.uv_scale))
+                best_t = jnp.where(take, t_i, best_t)
     return hit
 
 
 def intersect_occluded(scene: Scene, o, d, o_sh, d_sh, tmax_sh,
-                       active=None, active_sh=None):
+                       active=None, active_sh=None, time=None):
     """Fused closest-hit (o, d) + any-hit shadow (o_sh, d_sh) query.
 
     When the pallas cluster tracer is active, both wavefronts share ONE
@@ -203,8 +259,9 @@ def intersect_occluded(scene: Scene, o, d, o_sh, d_sh, tmax_sh,
         from . import cluster as clmod
         use_fused = clmod.pallas_enabled(scene.clusters)
     if not use_fused:
-        return (intersect(scene, o, d, active=active),
-                occluded(scene, o_sh, d_sh, t_max=tmax_sh, active=active_sh))
+        return (intersect(scene, o, d, active=active, time=time),
+                occluded(scene, o_sh, d_sh, t_max=tmax_sh, active=active_sh,
+                         time=time))
     from . import cluster as clmod
     n = o.shape[:-1]
     n_sh = o_sh.shape[:-1]
@@ -219,14 +276,26 @@ def intersect_occluded(scene: Scene, o, d, o_sh, d_sh, tmax_sh,
     tri_result, occ = clmod.intersect_occluded_pallas(
         scene.clusters, o, d, t_min, t_max,
         o_sh, d_sh, tmin_sh, tmax_sh)
-    hit = intersect(scene, o, d, active=active, _tri_result=tri_result)
+    hit = intersect(scene, o, d, active=active, time=time,
+                    _tri_result=tri_result)
     if scene.quad.count:
         occ = occ | quadmod.occluded_brute(scene.quad, o_sh, d_sh,
                                            tmin_sh, tmax_sh)
+    if scene.instances:
+        from . import instances as instmod
+        t_flat = None if time is None else \
+            jnp.broadcast_to(time, n_sh).reshape(-1)
+        for iset in scene.instances:
+            for i in range(iset.count):
+                occ_i = instmod.occluded_one(
+                    iset, i, o_sh.reshape(-1, 3), d_sh.reshape(-1, 3), t_flat,
+                    tmin_sh.reshape(-1), tmax_sh.reshape(-1))
+                occ = occ | occ_i.reshape(n_sh)
     return hit, occ
 
 
-def occluded(scene: Scene, o, d, t_min=None, t_max=None, active=None):
+def occluded(scene: Scene, o, d, t_min=None, t_max=None, active=None,
+             time=None):
     """Any-hit (shadow) query (scene.rs:57 intersect_p). `active` marks
     live lanes (see `intersect`)."""
     n = o.shape[:-1]
@@ -251,4 +320,13 @@ def occluded(scene: Scene, o, d, t_min=None, t_max=None, active=None):
             occ = occ | trimod.occluded_brute(scene.tri, o, d, t_min, t_max)
     if scene.quad.count:
         occ = occ | quadmod.occluded_brute(scene.quad, o, d, t_min, t_max)
+    if scene.instances:
+        from . import instances as instmod
+        t_flat = None if time is None else jnp.broadcast_to(time, n).reshape(-1)
+        for iset in scene.instances:
+            for i in range(iset.count):
+                occ_i = instmod.occluded_one(
+                    iset, i, o.reshape(-1, 3), d.reshape(-1, 3), t_flat,
+                    t_min.reshape(-1), t_max.reshape(-1))
+                occ = occ | occ_i.reshape(n)
     return occ

@@ -148,6 +148,12 @@ def li(scene, o, d, pixel_id, sample_idx, cfg, rr_start=3, return_stats=False,
         flat = lambda a: a.reshape((n,) + a.shape[len(shp):])
     o = o.reshape(n, 3)
     d = d.reshape(n, 3)
+    # shutter time for AnimatedTransform instances (transform.rs:2010):
+    # recomputed from the stateless sampler (same stream the camera used)
+    # so the li signature stays (scene, o, d, pixel_id, sample_idx)
+    animated = bool(scene.instances) and any(s.animated for s in scene.instances)
+    time = smp.sample_1d(cfg.sampler, pixel_id, sample_idx, smp.DIM_TIME) \
+        if (animated and provider is None) else None
 
     L = jnp.zeros((n, 3), Float)
     beta = jnp.ones((n, 3), Float)
@@ -167,7 +173,7 @@ def li(scene, o, d, pixel_id, sample_idx, cfg, rr_start=3, return_stats=False,
     cone_w = jnp.broadcast_to(cone[0], (n,))
     cone_s = jnp.broadcast_to(cone[1], (n,))
 
-    hit = scenemod.intersect(scene, o, d)
+    hit = scenemod.intersect(scene, o, d, time=time)
     rays_traced = rays_traced + n
 
     # lane → original-frame index (compaction bookkeeping); L_out holds
@@ -196,15 +202,19 @@ def li(scene, o, d, pixel_id, sample_idx, cfg, rr_start=3, return_stats=False,
                 if L_out is None:
                     L_out = jnp.zeros((n0, 3), Float)
                 L_out = L_out.at[gid].add(L, unique_indices=True)
+                tcol = [] if time is None else [time]
                 (beta, eta_scale, cone_w, cone_s, pixel_id, sample_idx,
                  active, gid, d, prev_p, prev_pdf, prev_spec,
                  hv, ht, hp, hng, hns, huv, hdpdu, hwo,
-                 hmat, hlid, hpk, hpid, huvs) = _gather_packed(order, [
+                 hmat, hlid, hpk, hpid, huvs, *trest) = _gather_packed(order, [
                      beta, eta_scale, cone_w, cone_s, pixel_id, sample_idx,
                      active, gid, d, prev_p, prev_pdf, prev_spec,
                      hit.valid, hit.t, hit.p, hit.ng,
                      hit.ns, hit.uv, hit.dpdu, hit.wo, hit.material_id,
-                     hit.light_id, hit.prim_kind, hit.prim_id, hit.uv_scale])
+                     hit.light_id, hit.prim_kind, hit.prim_id, hit.uv_scale]
+                     + tcol)
+                if time is not None:
+                    time = trest[0]
                 hit = scenemod.Hit(valid=hv, t=ht, p=hp, ng=hng, ns=hns,
                                    uv=huv, dpdu=hdpdu, wo=hwo, material_id=hmat,
                                    light_id=hlid, prim_kind=hpk, prim_id=hpid,
@@ -327,7 +337,7 @@ def li(scene, o, d, pixel_id, sample_idx, cfg, rr_start=3, return_stats=False,
             prev_spec = jnp.where(ok_sss, False, prev_spec)
         hit, occ = scenemod.intersect_occluded(scene, o, d, o_sh, wi_sh,
                                                tmax_sh, active=active,
-                                               active_sh=usable)
+                                               active_sh=usable, time=time)
         L = L + jnp.where((usable & ~occ)[..., None], nee_c, 0.0)
         rays_traced = rays_traced + jnp.sum(active.astype(Float))
 
