@@ -53,18 +53,19 @@ def main():
                                                    return_stats=True, cone=cone,
                                                    compact_from=1)
         (rad, stats), wt = _render_lanes(scene, camera, cfg, li_fn, pixel_id, sample_idx)
-        return jnp.sum(rad * wt[..., None], axis=0), stats["rays_traced"]
+        return (jnp.sum(rad * wt[..., None], axis=0), stats["rays_traced"],
+                stats["occupancy"])
 
     step = jax.jit(bench_step)
 
     # warmup/compile
-    img, rays = step(scene, camera, jnp.uint32(0))
+    img, rays, occ = step(scene, camera, jnp.uint32(0))
     img.block_until_ready()
 
     t0 = time.perf_counter()
     total_rays = 0.0
     for i in range(n_iters):
-        img, rays = step(scene, camera, jnp.uint32(i * spp_batch))
+        img, rays, occ = step(scene, camera, jnp.uint32(i * spp_batch))
         img.block_until_ready()
         total_rays += float(rays)
     dt = time.perf_counter() - t0
@@ -76,6 +77,8 @@ def main():
         "value": round(mrays, 2),
         "unit": "Mrays/s",
         "vs_baseline": round(mrays / target, 3),
+        "step_ms": round(dt / n_iters * 1e3, 1),
+        "occupancy_per_bounce": [round(float(x), 3) for x in np.asarray(occ)],
     }))
 
 

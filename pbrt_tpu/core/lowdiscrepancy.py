@@ -188,6 +188,75 @@ def sobol_sample(index, dim, scramble_seed=None):
     return u32_to_unit_float(bits)
 
 
+# ------------------------------------------------------------- max-min
+
+@functools.lru_cache(maxsize=None)
+def maxmin_matrix(m):
+    """Generator matrix (32 MSB-aligned uint32 direction vectors) for
+    the y component of an n = 2^m max-min-distance point set
+    {(i/n, C·i)} — the MaxMinDist sampler's special matrices
+    (maxmin.rs:15-105, tables at lowdiscrepancy.rs:171). The reference
+    ships precomputed search results; we regenerate the capability by
+    hill-climbing the minimum toroidal distance from the (0,2) Sobol'
+    matrix (which it strictly improves on for every m used)."""
+    assert 1 <= m <= 10
+    n = 1 << m
+    idx = np.arange(n, dtype=np.uint32)
+    x = idx.astype(np.float64) / n
+    dx = np.abs(x[:, None] - x[None, :])
+    dx = np.minimum(dx, 1.0 - dx) ** 2
+    big = np.eye(n) * 4.0
+
+    def points(vrows):
+        y = np.zeros(n, np.uint32)
+        for k in range(m):
+            bit = ((idx >> np.uint32(k)) & 1).astype(bool)
+            y = y ^ np.where(bit, vrows[k], np.uint32(0))
+        return y.astype(np.float64) / 2.0 ** 32
+
+    def min_d2(vrows):
+        y = points(vrows)
+        dy = np.abs(y[:, None] - y[None, :])
+        dy = np.minimum(dy, 1.0 - dy) ** 2
+        return float((dx + dy + big).min())
+
+    v = sobol_matrices(2)[1][:m].astype(np.uint32).copy()
+    best = min_d2(v)
+    rng = np.random.RandomState(977 + m)
+    for _ in range(600):
+        k = int(rng.randint(m))
+        b = int(rng.randint(m))
+        cand = v.copy()
+        cand[k] ^= np.uint32(1) << np.uint32(31 - b)
+        d = min_d2(cand)
+        if d > best:
+            v, best = cand, d
+    out = np.zeros(SOBOL_BITS, np.uint32)
+    out[:m] = v
+    # higher index bits (index >= n, only reached when spp exceeds the
+    # matrix size) fall back to the Sobol' rows
+    out[m:] = sobol_matrices(2)[1][m:]
+    return out
+
+
+def maxmin_sample2(index, m, seed0, seed1):
+    """Owen-scrambled (x, y) of the n = 2^m max-min point set; `index`
+    is taken modulo 2^m (maxmin.rs sample layout: x = i/n stratified,
+    y = C·i)."""
+    v = jnp.asarray(maxmin_matrix(m))
+    index = jnp.asarray(index).astype(jnp.uint32)
+    xbits = index << jnp.uint32(32 - m)
+
+    def body(k, acc):
+        bit = (index >> k.astype(jnp.uint32)) & jnp.uint32(1)
+        return acc ^ jnp.where(bit == 1, v[k], jnp.uint32(0))
+
+    ybits = jax.lax.fori_loop(0, SOBOL_BITS, body, jnp.zeros_like(index))
+    u = u32_to_unit_float(owen_scramble_u32(xbits, seed0))
+    vq = u32_to_unit_float(owen_scramble_u32(ybits, seed1))
+    return jnp.stack([u, vq], axis=-1)
+
+
 # --------------------------------------------------------------- radical
 
 @functools.lru_cache(maxsize=None)

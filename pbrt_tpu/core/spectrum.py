@@ -88,14 +88,52 @@ def spectral_lambdas(n=N_SPECTRAL_SAMPLES):
 
 
 def sampled_to_xyz(s):
-    """(..., NS) sampled spectrum → (..., 3) XYZ by Riemann sum."""
+    """(..., NS) sampled spectrum → (..., 3) XYZ by Riemann sum,
+    normalised by the y-bar integral (spectrum.rs to_xyz semantics):
+    a FLAT unit spectrum maps to Y = 1, so reflectance spectra are
+    dimensionless O(1) albedos and radiometric products keep their
+    scale across any number of bounce factors."""
     lams = spectral_lambdas(s.shape[-1])
     cmf = jnp.asarray(cie_xyz_curves(lams))              # (3, NS)
     dl = (LAMBDA_END - LAMBDA_START) / s.shape[-1]
     y_int = float(np.sum(cie_xyz_curves(lams)[1]) * dl)
-    return jnp.einsum("cn,...n->...c", cmf, s) * (dl / y_int) * 106.856895  # CIE Y integral
-    # (106.857 = integral of y-bar over the visible range, spectrum.rs uses
-    # the same normalisation constant.)
+    return jnp.einsum("cn,...n->...c", cmf, s) * (dl / y_int)
+
+
+def rgb_reflectance_basis(n=N_SPECTRAL_SAMPLES):
+    """(N, 3) smooth spectral basis whose weighted sum reproduces an
+    RGB reflectance EXACTLY through the spectrum→XYZ→RGB round trip
+    (spectrum.rs:566 from_rgb analog): smooth Gaussian bumps around the
+    sRGB primaries, calibrated with one 3x3 solve against the CIE
+    curves. Host-side numpy const."""
+    lams = spectral_lambdas(n)
+    # flat + two smooth sigmoids: white decomposes to an (almost exactly)
+    # FLAT spectrum, so products of near-neutral spectra stay faithful
+    # (the Smits-1999 insight; spiky per-primary bumps make white bumpy
+    # and reflectance products blow up)
+    raw = np.stack([
+        np.ones_like(lams),
+        1.0 / (1.0 + np.exp(-(lams - 575.0) / 30.0)),     # long-λ ramp
+        1.0 / (1.0 + np.exp((lams - 510.0) / 30.0)),      # short-λ ramp
+    ], axis=1)                                            # (N, 3)
+    # calibrate: want rgb_of_spectrum(raw @ w) == w for all w
+    cmf = cie_xyz_curves(lams).astype(np.float64)         # (3, N)
+    dl = (LAMBDA_END - LAMBDA_START) / n
+    y_int = float(np.sum(cmf[1]) * dl)
+    xyz_of_basis = cmf @ raw * (dl / y_int)               # (3, 3)
+    m_xyz2rgb = np.array([[3.240479, -1.537150, -0.498535],
+                          [-0.969256, 1.875991, 0.041556],
+                          [0.055648, -0.204043, 1.057311]])
+    a = m_xyz2rgb @ xyz_of_basis                          # rgb of basis cols
+    return (raw @ np.linalg.inv(a)).astype(np.float32)    # (N, 3)
+
+
+def rgb_to_spectrum(c, n=N_SPECTRAL_SAMPLES):
+    """(..., 3) RGB → (..., N) sampled reflectance/radiance spectrum
+    (clamped at 0; the exact-round-trip basis can dip slightly
+    negative for saturated colours)."""
+    basis = jnp.asarray(rgb_reflectance_basis(n))         # (N, 3)
+    return jnp.maximum(jnp.einsum("nc,...c->...n", basis, c), 0.0)
 
 
 def blackbody(lams_nm, temperature_k):

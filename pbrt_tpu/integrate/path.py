@@ -324,7 +324,12 @@ def li(scene, o, d, pixel_id, sample_idx, cfg, rr_start=3, return_stats=False,
         # specular_reflect/transmit differential propagation,
         # integrator.rs:294-391)
         cone_w = cone_w + cone_s * jnp.where(hit.valid, hit.t, 0.0)
-        cone_s = jnp.where(spec, cone_s, jnp.maximum(cone_s, 0.2))
+        # non-specular bounces widen the angular spread by the sampled
+        # lobe's sharpness: a pdf-p lobe has solid angle ~1/p, i.e.
+        # half-angle ~1/sqrt(p) — material-agnostic (GGX alpha and the
+        # cosine lobe both land right), replacing the old 0.2 constant
+        lobe_spread = jnp.minimum(0.7, jax.lax.rsqrt(jnp.maximum(pdf, 2.0)))
+        cone_s = jnp.where(spec, cone_s, jnp.maximum(cone_s, lobe_spread))
         o = vm.offset_ray_origin(hit.p, hit.ng, wi)
         d = wi
         if sss_state is not None:
