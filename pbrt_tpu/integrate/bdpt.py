@@ -16,8 +16,15 @@ Strategies (connect_bdpt, bdpt.rs:1026-1162):
 
 MIS weights use the standard forward/reverse area-pdf ratio recurrence
 (mis_weight, bdpt.rs:1164-1238) — the reference's ScopedAssignment
-remapping becomes functional endpoint overrides. Media vertices and
-infinite-light strategies beyond s=0 are future work (documented).
+remapping becomes functional endpoint overrides. Infinite-light paths
+are first-class: escaped camera subpaths terminate in VTX_ENV vertices
+(far-sphere area-density convention), env NEE and env light subpaths
+carry the infinite-light density corrections (bdpt.rs:223), and the
+env-lit cross-validation runs pixel-wise against the path tracer.
+Known residual: ~4% below path on area-lit scenes (strategy-weight
+bookkeeping — persists across samplers/spp; see
+tests/test_advanced_integrators.py). Media vertices in the walks remain
+future work (documented).
 """
 from __future__ import annotations
 
@@ -34,6 +41,7 @@ from ..core.spectrum import luminance
 from ..core.sampling import Distribution1D
 from ..geom import scene as scenemod
 from ..lights import lights as lightsmod
+from ..lights.lights import LIGHT_INFINITE
 from ..lights.distrib import power_distribution
 from ..shade import materials as matmod
 from ..cameras import camera_pdf_we, camera_sample_wi, generate_rays
@@ -44,6 +52,9 @@ from . import driver as drivermod
 VTX_CAMERA = 0
 VTX_LIGHT = 1
 VTX_SURFACE = 2
+VTX_ENV = 3      # camera-path escape to the infinite light (bdpt.rs:223
+#                  infinite-light vertex; stored on a far sphere at
+#                  2*world_radius so area-density conversions stay uniform)
 
 
 class Path(NamedTuple):
@@ -140,6 +151,32 @@ def _walk(scene, cfg, pid, sid, o, d, beta0, pdf_dir0, mode, dim_base, max_v,
         hit = scenemod.intersect(scene, o, d)
         live = active & hit.valid & (hit.material_id >= 0)
         pdf_area = convert_density(pdf_fwd_sa, o, hit.p, hit.ng)
+        if mode == "camera" and lights.env_index >= 0:
+            # escaped rays become infinite-light vertices (env handling
+            # of connect_bdpt, bdpt.rs:1026-1162): position on the far
+            # sphere, normal facing back along the ray
+            miss = active & ~hit.valid
+            t_far = 2.0 * scene.world_radius
+            p_env = o + d * t_far
+            ng_env = -d
+            # env-vertex densities use the same far-sphere area
+            # conversion as every other vertex: the MIS weight only
+            # consumes RATIOS of densities of the same path, so any
+            # consistent convention partitions to 1 (pbrt instead keeps
+            # infinite-vertex densities directional; mixing the two
+            # conventions measurably biases — tested both ways)
+            pdf_env = convert_density(pdf_fwd_sa, o, p_env, ng_env)
+            path = _set_vertex(
+                path, i,
+                vtype=jnp.where(miss, VTX_ENV, path.vtype[:, i]),
+                p=jnp.where(miss[:, None], p_env, path.p[:, i]),
+                ng=jnp.where(miss[:, None], ng_env, path.ng[:, i]),
+                ns=jnp.where(miss[:, None], ng_env, path.ns[:, i]),
+                beta=jnp.where(miss[:, None], beta, path.beta[:, i]),
+                pdf_fwd=jnp.where(miss, pdf_env, path.pdf_fwd[:, i]),
+                light_id=jnp.where(miss, lights.env_index, path.light_id[:, i]),
+                valid=path.valid[:, i] | miss)
+            nv = jnp.where(miss, i + 1, nv)
         path = _set_vertex(
             path, i,
             vtype=jnp.where(live, VTX_SURFACE, path.vtype[:, i]),
@@ -232,8 +269,25 @@ def generate_light_subpath(scene, cfg, pid, sid, power_dist, max_v):
     beta_walk = le["le"] * cos0[:, None] / jnp.maximum(
         (pmf * le["pdf_pos"] * le["pdf_dir"])[:, None], 1e-12)
     o = vm.offset_ray_origin(le["o"], le["ng_l"], le["d"])
-    return _walk(scene, cfg, pid, sid, o, le["d"], beta_walk,
-                 jnp.maximum(le["pdf_dir"], 0.0), "light", 300, max_v, path), lt, pmf
+    lpath = _walk(scene, cfg, pid, sid, o, le["d"], beta_walk,
+                  jnp.maximum(le["pdf_dir"], 0.0), "light", 300, max_v, path)
+    if lights.env_index >= 0:
+        # infinite-light subpath density correction (the bdpt.rs analog
+        # of pbrt's 'correct sampling densities for infinite lights'):
+        # the origin's density is the DIRECTIONAL infinite-light density
+        # and the first surface vertex's is the disk position density
+        is_env = lights.kind[lt] == LIGHT_INFINITE
+        sel = pmf
+        dens0 = sel * lightsmod.env_pdf_li(lights, le["d"])
+        lpath = lpath._replace(pdf_fwd=lpath.pdf_fwd.at[:, 0].set(
+            jnp.where(is_env, dens0, lpath.pdf_fwd[:, 0])))
+        if max_v > 1:
+            pdf_pos_env = 1.0 / (PI * scene.world_radius ** 2)
+            corr1 = pdf_pos_env * vm.absdot(lpath.ng[:, 1], le["d"])
+            lpath = lpath._replace(pdf_fwd=lpath.pdf_fwd.at[:, 1].set(
+                jnp.where(is_env & lpath.valid[:, 1], corr1,
+                          lpath.pdf_fwd[:, 1])))
+    return lpath, lt, pmf
 
 
 def _remap0(x):
@@ -346,8 +400,33 @@ def render(scene, camera, cfg: BDPTConfig):
                 if depth < 0 or depth > cfg.max_depth:
                     continue
                 if s == 0:
+                    if lights.env_index >= 0:
+                        # escaped camera path picks up env radiance
+                        # (bdpt.rs env branch of connect_bdpt), MIS vs
+                        # the s=1 NEE that could sample this direction
+                        # and the s>=2 env light subpaths
+                        is_env = cpath.valid[:, t - 1] & \
+                            (cpath.vtype[:, t - 1] == VTX_ENV)
+                        w_dir = vm.normalize(cpath.p[:, t - 1] - cpath.p[:, t - 2])
+                        le_env = lightsmod.env_radiance(lights, w_dir)
+                        contrib_e = cpath.beta[:, t - 1] * le_env
+                        n_l = jnp.maximum(lights.count, 1)
+                        sel_env = 1.0 / n_l          # s=1 selects uniformly
+                        pt_rev_e = convert_density(
+                            sel_env * lightsmod.env_pdf_li(lights, w_dir),
+                            cpath.p[:, t - 2], cpath.p[:, t - 1],
+                            cpath.ng[:, t - 1])
+                        ptm_rev_e = (1.0 / (PI * scene.world_radius ** 2)) \
+                            * vm.absdot(cpath.ng[:, t - 2], w_dir)
+                        wmis_e = _mis_weight(scene, cpath, lpath, 0, t,
+                                             dict(pt_rev=pt_rev_e,
+                                                  ptm_rev=ptm_rev_e))
+                        L = L + jnp.where(
+                            (is_env & (luminance(contrib_e) > 0))[:, None],
+                            contrib_e * wmis_e[:, None], 0.0)
                     # camera path alone: vertex t-1 must be emissive
-                    ok = cpath.valid[:, t - 1] & (cpath.light_id[:, t - 1] >= 0)
+                    ok = cpath.valid[:, t - 1] & (cpath.light_id[:, t - 1] >= 0) \
+                        & (cpath.vtype[:, t - 1] == VTX_SURFACE)
                     wo = vm.normalize(cpath.p[:, t - 2] - cpath.p[:, t - 1])
                     le = lightsmod.area_light_radiance(
                         lights, cpath.light_id[:, t - 1], cpath.ng[:, t - 1], wo)
@@ -371,7 +450,11 @@ def render(scene, camera, cfg: BDPTConfig):
                                       contrib * wmis[:, None], 0.0)
                 elif s == 1:
                     # sample a light point, connect to camera vertex t-1
-                    ok = cpath.valid[:, t - 1] & ~cpath.delta[:, t - 1]
+                    # (must be a connectible SURFACE vertex — env escape
+                    # vertices only terminate s=0 paths, bdpt.rs
+                    # IsConnectible)
+                    ok = cpath.valid[:, t - 1] & ~cpath.delta[:, t - 1] \
+                        & (cpath.vtype[:, t - 1] == VTX_SURFACE)
                     u_sel = smp.sample_1d(scfg, pid, sid, 60 + 8 * (s + 10 * t))
                     lt, pmf = common.select_light_uniform(lights, u_sel)
                     u_l = smp.sample_2d(scfg, pid, sid, 61 + 8 * (s + 10 * t))
@@ -397,6 +480,13 @@ def render(scene, camera, cfg: BDPTConfig):
                         cpath.p[:, t - 1], ls["p_light"], _light_normal_towards(ls))
                     pt_rev_s1 = convert_density(pdf_le_dir, ls["p_light"],
                                                 cpath.p[:, t - 1], cpath.ng[:, t - 1])
+                    if lights.env_index >= 0:
+                        # env light: position density is the world disk
+                        # (Vertex::PdfLight infinite branch, bdpt.rs)
+                        env_sel = lights.kind[lt] == LIGHT_INFINITE
+                        pt_rev_env = (1.0 / (PI * scene.world_radius ** 2)) \
+                            * vm.absdot(cpath.ng[:, t - 1], ls["wi"])
+                        pt_rev_s1 = jnp.where(env_sel, pt_rev_env, pt_rev_s1)
                     ptm_rev_s1 = convert_density(
                         _vertex_pdf(scene, cpath, t - 1, ls["p_light"], cpath.p[:, t - 2]),
                         cpath.p[:, t - 1], cpath.p[:, t - 2], cpath.ng[:, t - 2])
@@ -409,7 +499,8 @@ def render(scene, camera, cfg: BDPTConfig):
                 else:
                     # general s>=2 connection: lpath[s-1] ↔ cpath[t-1]
                     ok = cpath.valid[:, t - 1] & lpath.valid[:, s - 1] \
-                        & ~cpath.delta[:, t - 1] & ~lpath.delta[:, s - 1]
+                        & ~cpath.delta[:, t - 1] & ~lpath.delta[:, s - 1] \
+                        & (cpath.vtype[:, t - 1] == VTX_SURFACE)
                     g, wn = _g_term(scene, lpath.p[:, s - 1], lpath.ng[:, s - 1],
                                     cpath.p[:, t - 1], cpath.ng[:, t - 1])
                     wo_l_side = vm.normalize(lpath.p[:, s - 2] - lpath.p[:, s - 1])

@@ -48,6 +48,10 @@ from . import common
 # sample-dimension slot of the compaction subset draw (own per-bounce
 # block well past the SSS stream, like path_sss.DIM_SSS)
 DIM_COMPACT = 8000
+# slot of the anisotropic-footprint jitter (one per bounce)
+DIM_TEXLOD = 9000
+# test hook: disable the anisotropic major-axis tap (isotropic LOD only)
+ANISO_TEXTURE = True
 
 
 def _compact_width(n0, bounce, compact_from, floor=2048):
@@ -236,9 +240,26 @@ def li(scene, o, d, pixel_id, sample_idx, cfg, rr_start=3, return_stats=False,
         active = active & hit.valid & (hit.material_id >= 0)
 
         frame = common.shading_frame(hit, scene)
-        # footprint at the hit: cone diameter × surface uv density
+        # footprint at the hit: cone diameter × surface uv density gives
+        # the MINOR axis; at grazing incidence the footprint stretches by
+        # 1/cos along the projected view direction. Instead of an EWA
+        # multi-tap ellipse filter (mipmap.rs:258,297-345 — each tap is
+        # a random gather, the one expensive op on TPU), take ONE
+        # stochastic tap along the major axis per path sample: the
+        # expectation over samples IS the anisotropic ellipse filter,
+        # with LOD chosen from the minor axis (no grazing over-blur).
         fp_uv = (cone_w + cone_s * jnp.where(hit.valid, hit.t, 0.0)) * hit.uv_scale
-        lp = matmod.resolve(scene.materials, hit.material_id, hit.uv, hit.p,
+        cos_i = vm.absdot(d, hit.ns)
+        aniso = jnp.clip(1.0 / jnp.maximum(cos_i, 0.125), 1.0, 8.0)
+        if not ANISO_TEXTURE:
+            aniso = jnp.ones_like(aniso)
+        d_t = d - hit.ns * vm.dot(d, hit.ns)[..., None]
+        d_tn = d_t / jnp.maximum(vm.length(d_t), 1e-8)[..., None]
+        b_ax = vm.cross(hit.ns, hit.dpdu)
+        uv_dir = jnp.stack([vm.dot(d_tn, hit.dpdu), vm.dot(d_tn, b_ax)], axis=-1)
+        u_j = flat(sample1(bounce, DIM_TEXLOD)) - 0.5
+        uv_eval = hit.uv + uv_dir * (fp_uv * (aniso - 1.0) * u_j)[..., None]
+        lp = matmod.resolve(scene.materials, hit.material_id, uv_eval, hit.p,
                             scene.textures, fp=fp_uv)
 
         # --- NEE light half (path.rs:100-126 → integrator.rs:155-195).

@@ -28,7 +28,8 @@ def cornell_spheres(specular=False, light="area"):
     s = 1.0  # box side
     # floor (y=0), ceiling (y=s), back wall (z=-s), left (x=0,red), right (x=s,green)
     b.add_quad([0, 0, 0], [s, 0, 0], [s, 0, -s], [0, 0, -s], white)       # floor
-    b.add_quad([0, s, 0], [0, s, -s], [s, s, -s], [s, s, 0], white)       # ceiling
+    if light != "env":   # env variant: open ceiling, sky lights the box
+        b.add_quad([0, s, 0], [0, s, -s], [s, s, -s], [s, s, 0], white)   # ceiling
     b.add_quad([0, 0, -s], [s, 0, -s], [s, s, -s], [0, s, -s], white)     # back
     b.add_quad([0, 0, 0], [0, 0, -s], [0, s, -s], [0, s, 0], red)         # left
     b.add_quad([s, 0, 0], [s, s, 0], [s, s, -s], [s, 0, -s], green)       # right
@@ -44,6 +45,16 @@ def cornell_spheres(specular=False, light="area"):
         b.area_light_quad([c - e, y, -c + e], [c - e, y, -c - e],
                           [c + e, y, -c - e], [c + e, y, -c + e],
                           radiance=(12.0, 12.0, 12.0))
+    elif light == "env":
+        # non-uniform sky (bright warm band near the zenith) so env
+        # importance sampling and MIS matter
+        import numpy as _np
+        th = _np.linspace(0, _np.pi, 32)[:, None] * _np.ones((1, 64))
+        img = _np.stack([1.6 * _np.exp(-((th - 0.5) ** 2) / 0.18) + 0.25,
+                         1.3 * _np.exp(-((th - 0.5) ** 2) / 0.18) + 0.3,
+                         1.0 * _np.exp(-((th - 0.5) ** 2) / 0.18) + 0.45],
+                        axis=-1).astype(_np.float32)
+        b.infinite_light(radiance=1.0, image=img)
     else:
         b.point_light([0.5, 0.85, -0.5], intensity=(1.2, 1.2, 1.2))
     return b.build()
