@@ -490,7 +490,7 @@ def render(scene, camera, cfg: BDPTConfig):
                     ptm_rev_s1 = convert_density(
                         _vertex_pdf(scene, cpath, t - 1, ls["p_light"], cpath.p[:, t - 2]),
                         cpath.p[:, t - 1], cpath.p[:, t - 2], cpath.ng[:, t - 2])
-                    sampled_l = _sampled_light_path(lpath, ls, lt, pmf)
+                    sampled_l = _sampled_light_path(lpath, lights, ls, lt, pmf)
                     wmis = _mis_weight(scene, cpath, sampled_l, 1, t,
                                        dict(qs_rev=qs_rev, pt_rev=pt_rev_s1,
                                             ptm_rev=ptm_rev_s1))
@@ -587,15 +587,29 @@ def _light_normal_towards(ls):
     return ls.get("ng_l", -ls["wi"]) if isinstance(ls, dict) and "ng_l" in ls else -ls["wi"]
 
 
-def _sampled_light_path(lpath, ls, lt, pmf):
+def _sampled_light_path(lpath, lights, ls, lt, pmf):
     """Overlay a freshly-sampled light vertex into slot 0 of a copy of
-    lpath (for s=1 MIS bookkeeping)."""
+    lpath (for s=1 MIS bookkeeping). Its pdf_fwd is PdfLightOrigin —
+    the AREA density of choosing this light point (selection pmf x
+    1/area for area lights; the pmf alone for delta lights; the
+    directional density for the infinite light) — NOT the solid-angle
+    NEE pdf (bdpt.rs sampled-vertex semantics; mixing the two
+    under-weights the s=1 strategy by the area/solid-angle Jacobian)."""
     n = lt.shape[0]
+    kind = lights.kind[lt]
+    is_area = (kind == lightsmod.LIGHT_AREA_TRI) | \
+        (kind == lightsmod.LIGHT_AREA_SPHERE)
+    pdf_origin = jnp.where(
+        is_area, pmf / jnp.maximum(lights.total_area[lt], 1e-12), pmf)
+    if lights.env_index >= 0:
+        pdf_origin = jnp.where(kind == LIGHT_INFINITE,
+                               pmf * lightsmod.env_pdf_li(lights, ls["wi"]),
+                               pdf_origin)
     return lpath._replace(
         p=lpath.p.at[:, 0].set(ls["p_light"]),
         ng=lpath.ng.at[:, 0].set(_light_normal_towards(ls)),
         ns=lpath.ns.at[:, 0].set(_light_normal_towards(ls)),
-        pdf_fwd=lpath.pdf_fwd.at[:, 0].set(ls["pdf"] * pmf),
+        pdf_fwd=lpath.pdf_fwd.at[:, 0].set(pdf_origin),
         delta=lpath.delta.at[:, 0].set(ls["is_delta"]),
         light_id=lpath.light_id.at[:, 0].set(lt),
         valid=lpath.valid.at[:, 0].set(True))

@@ -69,8 +69,11 @@ def main():
         t_min = jnp.zeros(hw)
         t_max = jnp.full((hw,), 1e30)
 
-        f_pal = jax.jit(lambda o, d, tmx: clmod.intersect_pallas(cs, o, d, t_min, tmx))
-        dt, outp = timeit(f_pal, o, d, t_max)
+        # pass the cluster arrays as ARGUMENTS: closure capture bakes the
+        # multi-hundred-MB feature tables into the HLO as constants and
+        # overflows the remote-compile request at 1M+ triangles
+        f_pal = jax.jit(lambda cs_, o, d, tmx: clmod.intersect_pallas(cs_, o, d, t_min, tmx))
+        dt, outp = timeit(f_pal, cs, o, d, t_max)
 
         # bounce rays at 50% live (the incoherent worst case)
         hitm, t_hit = outp[0], outp[1]
@@ -79,13 +82,13 @@ def main():
         db = (ub * 2 - 1) / jnp.linalg.norm(ub * 2 - 1, axis=-1, keepdims=True)
         live = rng.uniform_float(pix, jnp.uint32(21)) < 0.5
         tmx_b = jnp.where(live, 1e30, -1.0)
-        dt_b, _ = timeit(f_pal, p_hit, db, tmx_b)
+        dt_b, _ = timeit(f_pal, cs, p_hit, db, tmx_b)
 
-        def s_cov(o_, d_, tmx):
-            _, _, _, comp, os_, ds_, _ = clmod._prepare(cs, o_, d_, t_min, tmx)
-            return clmod._pallas_inputs(cs, comp, os_, ds_)[3]
+        def s_cov(cs_, o_, d_, tmx):
+            _, _, _, comp, os_, ds_, _ = clmod._prepare(cs_, o_, d_, t_min, tmx)
+            return clmod._pallas_inputs(cs_, comp, os_, ds_)[3]
 
-        dt_cov, counts = timeit(jax.jit(s_cov), p_hit, db, tmx_b)
+        dt_cov, counts = timeit(jax.jit(s_cov), cs, p_hit, db, tmx_b)
         cnp = np.asarray(counts)
         live_tiles = cnp[cnp > 0]
         rows.append(dict(
