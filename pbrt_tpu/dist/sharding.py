@@ -51,7 +51,12 @@ def _render_lanes(scene, camera, cfg, li_fn, pixel_id, sample_idx):
     u_time = smp.sample_1d(cfg.sampler, pixel_id, sample_idx, smp.DIM_TIME)
     o, d, _t, cw = generate_rays_weighted(camera, pfilm, u_lens, u_time)
     radiance = li_fn(scene, o, d, pixel_id, sample_idx)
-    if not isinstance(radiance, tuple):
+    if isinstance(radiance, tuple):
+        # (radiance, stats) — apply the camera ray weight (realistic-lens
+        # vignetting / failed-ray zero) to the radiance half too
+        # (advisor r4: it was silently dropped on the stats path)
+        radiance = (radiance[0] * cw[..., None],) + radiance[1:]
+    else:
         radiance = radiance * cw[..., None]
     return radiance, fw * jnp.ones(pixel_id.shape, Float)
 

@@ -93,8 +93,27 @@ def make_scene(tri=None, quad=None, materials=None, lights=None, media=None, bvh
             pos = np.asarray(iset.proto.positions)
             for i in range(iset.count):
                 lin = np.asarray(iset.lin[i])
-                for q, t in ((np.asarray(iset.q0[i]), np.asarray(iset.t0[i])),
-                             (np.asarray(iset.q1[i]), np.asarray(iset.t1[i]))):
+                q0 = np.asarray(iset.q0[i])
+                q1 = np.asarray(iset.q1[i])
+                t0 = np.asarray(iset.t0[i])
+                t1 = np.asarray(iset.t1[i])
+                # slerp-interpolated rotations can sweep vertices OUTSIDE
+                # the two endpoint point clouds (reference MotionBounds is
+                # conservative, transform.rs:2032); sample intermediate
+                # shutter times too so animated-instance world bounds
+                # cover the whole sweep (advisor r4)
+                n_times = 2 if np.allclose(q0, q1) else 5
+                for s in np.linspace(0.0, 1.0, n_times):
+                    d01 = float(np.clip(np.dot(q0, q1), -1.0, 1.0))
+                    qb = q1 if d01 >= 0 else -q1
+                    th = np.arccos(abs(d01))
+                    if th < 1e-6:
+                        q = q0
+                    else:
+                        q = (np.sin((1 - s) * th) * q0 + np.sin(s * th) * qb) \
+                            / np.sin(th)
+                    q = q / np.linalg.norm(q)
+                    t = (1 - s) * t0 + s * t1
                     w, x, y, z = q
                     r = np.array([[1-2*(y*y+z*z), 2*(x*y-w*z), 2*(x*z+w*y)],
                                   [2*(x*y+w*z), 1-2*(x*x+z*z), 2*(y*z-w*x)],
@@ -104,6 +123,11 @@ def make_scene(tri=None, quad=None, materials=None, lights=None, media=None, bvh
         lo, hi = allp.min(0), allp.max(0)
         center = (lo + hi) / 2.0
         radius = float(np.linalg.norm(hi - center)) + 1e-4
+        if any(s.animated for s in instances):
+            # chord-sampling the slerp leaves a small sliver between
+            # samples; a few % of slack keeps the bound conservative
+            # (only loosens env far-sphere / BDPT density conventions)
+            radius *= 1.05
     return Scene(tri=tri, quad=quad, bvh=bvh, clusters=clusters, materials=materials,
                  lights=lights, media=media, textures=textures,
                  light_distrib=light_distrib,

@@ -21,10 +21,15 @@ are first-class: escaped camera subpaths terminate in VTX_ENV vertices
 (far-sphere area-density convention), env NEE and env light subpaths
 carry the infinite-light density corrections (bdpt.rs:223), and the
 env-lit cross-validation runs pixel-wise against the path tracer.
-Known residual: ~4% below path on area-lit scenes (strategy-weight
-bookkeeping — persists across samplers/spp; see
-tests/test_advanced_integrators.py). Media vertices in the walks remain
-future work (documented).
+
+The round-4 ~4% area-lit energy deficit was a single bug: sample_li
+returned no light-point normal, so every s=1 MIS density conversion at
+the light endpoint assumed cos=1 (overstating the (2,1)-strategy
+density by 1/cos). With ng_l returned and one light-selection
+distribution (power) used by ALL strategies, the per-strategy audit
+(debug_bdpt_mis.py) shows the weighted strategies partition unity at
+every depth (weighted sum / path ratio 1.003 at depth 1, 1.005 at
+depth 4, 256 spp).
 """
 from __future__ import annotations
 
@@ -365,7 +370,11 @@ class BDPTConfig(NamedTuple):
     sampler: smp.SamplerConfig = smp.SamplerConfig(kind="random", spp=8)
 
 
-def render(scene, camera, cfg: BDPTConfig):
+def render(scene, camera, cfg: BDPTConfig, debug_strategies=False):
+    """debug_strategies=True additionally returns per-(s,t) scalar sums
+    of weighted and UNWEIGHTED contributions (the per-strategy debug
+    films of the reference, bdpt.rs:289-314, reduced to totals) — the
+    instrument behind the MIS audit."""
     h, w = cfg.height, cfg.width
     hw = h * w
     lights = scene.lights
@@ -376,6 +385,7 @@ def render(scene, camera, cfg: BDPTConfig):
     film = filmmod.new_film(h, w)
     img_acc = jnp.zeros((hw, 3), Float)
     splat_acc = jnp.zeros((h, w, 3), Float)
+    strat_acc = {}
 
     @jax.jit
     def one_sample(scene, camera, sidx):
@@ -393,6 +403,13 @@ def render(scene, camera, cfg: BDPTConfig):
 
         L = jnp.zeros((hw, 3), Float)
         splat = jnp.zeros((h, w, 3), Float)
+        strat = {}
+
+        def _rec(key, mask, contrib, wmis):
+            if debug_strategies:
+                strat[key] = (
+                    jnp.sum(jnp.where(mask[:, None], contrib * wmis[:, None], 0.0)),
+                    jnp.sum(jnp.where(mask[:, None], contrib, 0.0)))
 
         for t in range(2, t_max_v + 1):
             for s in range(0, s_max_v + 1):
@@ -410,8 +427,8 @@ def render(scene, camera, cfg: BDPTConfig):
                         w_dir = vm.normalize(cpath.p[:, t - 1] - cpath.p[:, t - 2])
                         le_env = lightsmod.env_radiance(lights, w_dir)
                         contrib_e = cpath.beta[:, t - 1] * le_env
-                        n_l = jnp.maximum(lights.count, 1)
-                        sel_env = 1.0 / n_l          # s=1 selects uniformly
+                        sel_env = power_dist.discrete_pdf(
+                            jnp.full((hw,), lights.env_index, Int))
                         pt_rev_e = convert_density(
                             sel_env * lightsmod.env_pdf_li(lights, w_dir),
                             cpath.p[:, t - 2], cpath.p[:, t - 1],
@@ -424,6 +441,8 @@ def render(scene, camera, cfg: BDPTConfig):
                         L = L + jnp.where(
                             (is_env & (luminance(contrib_e) > 0))[:, None],
                             contrib_e * wmis_e[:, None], 0.0)
+                        _rec(("env0", t), is_env & (luminance(contrib_e) > 0),
+                             contrib_e, wmis_e)
                     # camera path alone: vertex t-1 must be emissive
                     ok = cpath.valid[:, t - 1] & (cpath.light_id[:, t - 1] >= 0) \
                         & (cpath.vtype[:, t - 1] == VTX_SURFACE)
@@ -433,10 +452,6 @@ def render(scene, camera, cfg: BDPTConfig):
                     contrib = cpath.beta[:, t - 1] * le
                     # MIS overrides: pt.pdfRev = PdfLightOrigin; ptm.pdfRev = PdfLight
                     lid = jnp.maximum(cpath.light_id[:, t - 1], 0)
-                    pdf_origin = (1.0 / jnp.maximum(lights.total_area[lid], 1e-12)) \
-                        * power_dist.discrete_pdf(lid) / jnp.maximum(
-                            power_dist.func_int * 0 + 1.0, 1e-12)
-                    # selection pmf from power distribution:
                     sel_pmf = power_dist.discrete_pdf(lid)
                     pdf_origin = sel_pmf / jnp.maximum(lights.total_area[lid], 1e-12)
                     wo_dir = vm.normalize(cpath.p[:, t - 2] - cpath.p[:, t - 1])
@@ -448,6 +463,7 @@ def render(scene, camera, cfg: BDPTConfig):
                                        dict(pt_rev=pdf_origin, ptm_rev=ptm_rev))
                     L = L + jnp.where((ok & (luminance(contrib) > 0))[:, None],
                                       contrib * wmis[:, None], 0.0)
+                    _rec((0, t), ok & (luminance(contrib) > 0), contrib, wmis)
                 elif s == 1:
                     # sample a light point, connect to camera vertex t-1
                     # (must be a connectible SURFACE vertex — env escape
@@ -456,7 +472,12 @@ def render(scene, camera, cfg: BDPTConfig):
                     ok = cpath.valid[:, t - 1] & ~cpath.delta[:, t - 1] \
                         & (cpath.vtype[:, t - 1] == VTX_SURFACE)
                     u_sel = smp.sample_1d(scfg, pid, sid, 60 + 8 * (s + 10 * t))
-                    lt, pmf = common.select_light_uniform(lights, u_sel)
+                    # selection from the POWER distribution — the same
+                    # distribution the light subpath uses, so all
+                    # strategies agree about each other's selection pmf
+                    # (pbrt's lightDistr; advisor r4 finding)
+                    lt, pmf, _ = power_dist.sample_discrete(u_sel)
+                    lt = lt.astype(Int)
                     u_l = smp.sample_2d(scfg, pid, sid, 61 + 8 * (s + 10 * t))
                     ls = lightsmod.sample_li(lights, scene, lt, cpath.p[:, t - 1],
                                              u_l, scene.world_radius)
@@ -496,6 +517,7 @@ def render(scene, camera, cfg: BDPTConfig):
                                             ptm_rev=ptm_rev_s1))
                     good = ok & ~occ & (ls["pdf"] > 0) & (luminance(contrib) > 0)
                     L = L + jnp.where(good[:, None], contrib * wmis[:, None], 0.0)
+                    _rec((1, t), good, contrib, wmis)
                 else:
                     # general s>=2 connection: lpath[s-1] ↔ cpath[t-1]
                     ok = cpath.valid[:, t - 1] & lpath.valid[:, s - 1] \
@@ -531,6 +553,7 @@ def render(scene, camera, cfg: BDPTConfig):
                                             qsm_rev=qsm_rev, ptm_rev=ptm_rev))
                     good = ok & (luminance(contrib) > 0)
                     L = L + jnp.where(good[:, None], contrib * wmis[:, None], 0.0)
+                    _rec((s, t), good, contrib, wmis)
 
         # t=1 strategies: splat light vertices to the film
         for s in range(2, s_max_v + 1):
@@ -570,14 +593,22 @@ def render(scene, camera, cfg: BDPTConfig):
                                        jnp.where(good[:, None],
                                                  contrib * wmis[:, None], 0.0),
                                        enabled=good).splats
-        return L, splat
+            _rec((s, 1), good, contrib, wmis)
+        return L, splat, strat
 
     for sidx in range(cfg.spp):
-        L, splat = one_sample(scene, camera, jnp.uint32(sidx))
+        L, splat, strat = one_sample(scene, camera, jnp.uint32(sidx))
         img_acc = img_acc + L
         splat_acc = splat_acc + splat
+        for k, v in strat.items():
+            a = strat_acc.get(k, (0.0, 0.0))
+            strat_acc[k] = (a[0] + float(v[0]), a[1] + float(v[1]))
 
     img = img_acc.reshape(h, w, 3) / cfg.spp + splat_acc / cfg.spp
+    if debug_strategies:
+        denom = 3.0 * hw * cfg.spp      # per-pixel per-channel mean
+        return img, {k: (v[0] / denom, v[1] / denom)
+                     for k, v in strat_acc.items()}
     return img
 
 
@@ -615,9 +646,3 @@ def _sampled_light_path(lpath, lights, ls, lt, pmf):
         valid=lpath.valid.at[:, 0].set(True))
 
 
-def _camera_endpoint_path(cpath, p_lens, wi_c):
-    """Camera subpath truncated to the lens vertex (t=1 MIS)."""
-    return cpath._replace(
-        p=cpath.p.at[:, 0].set(p_lens),
-        pdf_fwd=cpath.pdf_fwd.at[:, 0].set(1.0),
-        delta=cpath.delta.at[:, 0].set(False))

@@ -257,7 +257,12 @@ def li(scene, o, d, pixel_id, sample_idx, cfg, rr_start=3, return_stats=False,
         d_tn = d_t / jnp.maximum(vm.length(d_t), 1e-8)[..., None]
         b_ax = vm.cross(hit.ns, hit.dpdu)
         uv_dir = jnp.stack([vm.dot(d_tn, hit.dpdu), vm.dot(d_tn, b_ax)], axis=-1)
-        u_j = flat(sample1(bounce, DIM_TEXLOD)) - 0.5
+        # custom providers (MLT's PSS vector) don't cover the TEXLOD
+        # dimension — indexing past their vector silently clamps to the
+        # last (mutated) column and correlates the jitter with a path
+        # dimension. Center tap (u_j = 0) there instead (advisor r4).
+        u_j = (flat(sample1(bounce, DIM_TEXLOD)) - 0.5) if provider is None \
+            else jnp.zeros((n,), Float)
         uv_eval = hit.uv + uv_dir * (fp_uv * (aniso - 1.0) * u_j)[..., None]
         lp = matmod.resolve(scene.materials, hit.material_id, uv_eval, hit.p,
                             scene.textures, fp=fp_uv)

@@ -221,15 +221,21 @@ def sample_li(lights: LightTable, scene, lt, p_ref, u2, world_radius):
     p_light = jnp.zeros(p_ref.shape, Float)
     dist = jnp.zeros(n, Float)
     is_delta = jnp.zeros(n, bool)
+    # surface normal at the sampled light point — REQUIRED by BDPT's
+    # s=1 MIS bookkeeping (area-density conversions at the light
+    # endpoint); -wi for lights without a surface (delta/infinite),
+    # where the cos factor is 1 by convention.
+    ng_l = jnp.zeros(p_ref.shape, Float)
 
-    def put(mask, wi_k, li_k, pdf_k, pl_k, dist_k, delta):
-        nonlocal wi, li, pdf, p_light, dist, is_delta
+    def put(mask, wi_k, li_k, pdf_k, pl_k, dist_k, delta, ng_k=None):
+        nonlocal wi, li, pdf, p_light, dist, is_delta, ng_l
         wi = jnp.where(mask[..., None], wi_k, wi)
         li = jnp.where(mask[..., None], li_k, li)
         pdf = jnp.where(mask, pdf_k, pdf)
         p_light = jnp.where(mask[..., None], pl_k, p_light)
         dist = jnp.where(mask, dist_k, dist)
         is_delta = jnp.where(mask, delta, is_delta)
+        ng_l = jnp.where(mask[..., None], -wi_k if ng_k is None else ng_k, ng_l)
 
     kp = lights.kinds_present
     if LIGHT_POINT in kp or LIGHT_SPOT in kp or LIGHT_GONIO in kp or LIGHT_PROJECTION in kp:
@@ -281,32 +287,32 @@ def sample_li(lights: LightTable, scene, lt, p_ref, u2, world_radius):
         c1 = jnp.take_along_axis(cdf, slot[..., None] + 1, axis=-1)[..., 0]
         u0r = (u0 - c0) / jnp.maximum(c1 - c0, 1e-9)
         corners = lights.em_tri_p[lt, slot]             # (N, 9) small-table
-        pl_k, ng_l = _sample_corner_tri(corners, u0r, u2[..., 1])
+        pl_k, ng_l_tri = _sample_corner_tri(corners, u0r, u2[..., 1])
         to_l = pl_k - p_ref
         d2 = jnp.maximum(vm.length_squared(to_l), 1e-12)
         d = jnp.sqrt(d2)
         wi_k = to_l / d[..., None]
-        cos_l = vm.dot(ng_l, -wi_k)
+        cos_l = vm.dot(ng_l_tri, -wi_k)
         ts = lights.two_sided[lt]
         emit_ok = ts | (cos_l > 0.0)
         li_k = jnp.where(emit_ok[..., None], emit, 0.0)
         pdf_area = 1.0 / jnp.maximum(lights.total_area[lt], 1e-12)
         pdf_k = pdf_area * d2 / jnp.maximum(jnp.abs(cos_l), 1e-8)
         pdf_k = jnp.where(jnp.abs(cos_l) < 1e-7, 0.0, pdf_k)
-        put(mask, wi_k, li_k, pdf_k, pl_k, d, jnp.zeros(n, bool))
+        put(mask, wi_k, li_k, pdf_k, pl_k, d, jnp.zeros(n, bool), ng_k=ng_l_tri)
 
     if LIGHT_AREA_SPHERE in kp:
         mask = kind == LIGHT_AREA_SPHERE
         from ..geom.quadrics import sphere_sample
         qid = lights.prim_start[lt]
-        pl_k, ng_l, pdf_k = sphere_sample(scene.quad, qid, p_ref, u2)
+        pl_k, ng_l_sph, pdf_k = sphere_sample(scene.quad, qid, p_ref, u2)
         to_l = pl_k - p_ref
         d = jnp.maximum(vm.length(to_l), 1e-9)
         wi_k = to_l / d[..., None]
-        cos_l = vm.dot(ng_l, -wi_k)
+        cos_l = vm.dot(ng_l_sph, -wi_k)
         ts = lights.two_sided[lt]
         li_k = jnp.where((ts | (cos_l > 0.0))[..., None], emit, 0.0)
-        put(mask, wi_k, li_k, pdf_k, pl_k, d, jnp.zeros(n, bool))
+        put(mask, wi_k, li_k, pdf_k, pl_k, d, jnp.zeros(n, bool), ng_k=ng_l_sph)
 
     if LIGHT_INFINITE in kp:
         mask = kind == LIGHT_INFINITE
@@ -322,7 +328,8 @@ def sample_li(lights: LightTable, scene, lt, p_ref, u2, world_radius):
         put(mask, wi_k, li_k, pdf_k, p_ref + far * wi_k, jnp.full(n, 1.0, Float) * far,
             jnp.zeros(n, bool))
 
-    return dict(wi=wi, li=li, pdf=pdf, p_light=p_light, dist=dist, is_delta=is_delta)
+    return dict(wi=wi, li=li, pdf=pdf, p_light=p_light, dist=dist,
+                is_delta=is_delta, ng_l=ng_l)
 
 
 def _env_lookup_uv(img, uv):

@@ -72,12 +72,14 @@ def test_bdpt_matches_path_pixelwise(path_ref):
                           sampler=smp.SamplerConfig(kind="random", spp=64))
     img_b = np.asarray(bdpt.render(scene, cam, cfg))
     assert np.isnan(img_b).sum() == 0
-    # KNOWN RESIDUAL: BDPT sits ~4% below path on this scene at every
-    # depth (strategy-weight bookkeeping, not MC noise — persists across
-    # samplers and spp); bounds document the achieved state and will
-    # tighten when the MIS audit lands
-    assert abs(img_b.mean() - img_p.mean()) < 0.06 * img_p.mean()
-    assert _mare(img_b, img_p) < 0.18, _mare(img_b, img_p)
+    # r5: the s=1 MIS normal bug (sample_li returned no ng_l, so the
+    # light-endpoint density conversions assumed cos=1) is fixed and the
+    # per-strategy audit (debug_bdpt_mis.py) shows weights partition to
+    # 1.00 at every depth — bounds tightened per VERDICT r4 #2
+    assert abs(img_b.mean() - img_p.mean()) < 0.015 * img_p.mean()
+    # pixel-wise bound is MC noise at 64 random spp vs 96 zerotwo spp
+    # (measured 0.101 mare), not bias — mean above is the bias gate
+    assert _mare(img_b, img_p) < 0.12, _mare(img_b, img_p)
 
 
 def test_bdpt_env_lit_matches_path_pixelwise(env_ref):
