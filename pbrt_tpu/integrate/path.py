@@ -56,8 +56,15 @@ ANISO_TEXTURE = True
 
 def _compact_width(n0, bounce, compact_from, floor=2048):
     """Static wavefront width for `bounce`: halves each bounce past
-    `compact_from`, capped at n0/16, floored at `floor` lanes."""
-    shift = min(bounce - compact_from + 1, 4)
+    `compact_from`; from the 4th compacted bounce the schedule drops two
+    extra octaves (measured occupancy collapses to ~0.006 by then —
+    BENCH r4 — so depth-5 was riding 90% dead lanes at the old n0/16
+    cap); floored at `floor` lanes. Estimator stays unbiased at any
+    width (random-subset RR with live/kept compensation)."""
+    shift = bounce - compact_from + 1
+    if shift >= 4:
+        shift += 2
+    shift = min(shift, 7)
     return max(min(n0 >> shift, n0), min(floor, n0))
 
 

@@ -11,8 +11,15 @@ that render's three λ bins. The stack converts to XYZ with the CIE
 curves and then to sRGB.
 
 Limitations (documented, same class as spectrum.rs's from_rgb):
-- RGB texture maps are treated as per-bin reflectance scale factors
-  (their values multiply the already-spectralised material constants).
+- RGB texture maps are treated as per-bin reflectance scale factors:
+  a texel's RGB multiplies the already-spectralised material constant,
+  so on textured materials the colour is basis-projected TWICE (once
+  when the constant is spectralised, once per-texel in RGB). For
+  smooth reflectance spectra the double projection changes the result
+  by at most a few percent (covered by
+  tests/test_maxmin_spectral.py::test_spectral_textured_scene) —
+  exact per-texel spectralisation would need the full basis lookup per
+  texel fetch.
 - No spectral dispersion (λ-independent eta).
 """
 from __future__ import annotations

@@ -89,7 +89,8 @@ def build_lights(rows, tri=None, quad=None, env_image=None, env_to_world=None,
       gonio: p, I (gonio_image) | projection: p, direction, I, fov_deg
     """
     L = len(rows)
-    me = max([len(r.get("tri_ids", [])) for r in rows] + [1])
+    me = max([len(np.asarray(r["tris"]).reshape(-1, 9)) if "tris" in r
+              else len(r.get("tri_ids", [])) for r in rows] + [1])
     kind = np.zeros(L, np.int32)
     p = np.zeros((L, 3), np.float32)
     direction = np.tile(np.array([0, 0, 1], np.float32), (L, 1))
@@ -136,20 +137,31 @@ def build_lights(rows, tri=None, quad=None, env_image=None, env_to_world=None,
         if k == LIGHT_PROJECTION:
             cos_end[i] = np.cos(np.deg2rad(r.get("fov_deg", 45.0) / 2.0))
         if k == LIGHT_AREA_TRI:
-            ids = np.asarray(r["tri_ids"], np.int32)
-            prim_count[i] = len(ids)
-            em_tri_idx[i, :len(ids)] = ids
-            v0 = tri_pos[tri_idx_np[ids, 0]]
-            v1 = tri_pos[tri_idx_np[ids, 1]]
-            v2 = tri_pos[tri_idx_np[ids, 2]]
+            if "tris" in r:
+                # explicit world-space corner rows (T, 9) — used by
+                # emissive INSTANCES, whose triangles live in an
+                # instanced prototype rather than the scene tri SoA
+                # (goes beyond the reference: TransformedPrimitive::
+                # get_area_light returns None, primitive.rs:161-163)
+                corners = np.asarray(r["tris"], np.float32).reshape(-1, 9)
+                v0, v1, v2 = corners[:, 0:3], corners[:, 3:6], corners[:, 6:9]
+                nid = len(corners)
+            else:
+                ids = np.asarray(r["tri_ids"], np.int32)
+                em_tri_idx[i, :len(ids)] = ids
+                v0 = tri_pos[tri_idx_np[ids, 0]]
+                v1 = tri_pos[tri_idx_np[ids, 1]]
+                v2 = tri_pos[tri_idx_np[ids, 2]]
+                nid = len(ids)
+            prim_count[i] = nid
             areas = 0.5 * np.linalg.norm(np.cross(v1 - v0, v2 - v0), axis=-1)
-            em_tri_p[i, :len(ids), 0:3] = v0
-            em_tri_p[i, :len(ids), 3:6] = v1
-            em_tri_p[i, :len(ids), 6:9] = v2
+            em_tri_p[i, :nid, 0:3] = v0
+            em_tri_p[i, :nid, 3:6] = v1
+            em_tri_p[i, :nid, 6:9] = v2
             total_area[i] = areas.sum()
             cdf = np.concatenate([[0.0], np.cumsum(areas)]) / max(areas.sum(), 1e-12)
-            em_tri_cdf[i, :len(ids) + 1] = cdf
-            em_tri_cdf[i, len(ids) + 1:] = 1.0
+            em_tri_cdf[i, :nid + 1] = cdf
+            em_tri_cdf[i, nid + 1:] = 1.0
             two_sided[i] = bool(r.get("two_sided", False))
         if k == LIGHT_AREA_SPHERE:
             qid = int(r["quadric_id"])

@@ -178,3 +178,99 @@ def test_animated_instance_through_path_integrator():
     cov_s = (img_s.mean(axis=2).min(axis=0) < 0.9).sum()
     assert cov_a > cov_s + 8, (cov_a, cov_s)
     assert np.isnan(img_a).sum() == 0
+
+
+def test_many_instances_precull():
+    """VERDICT r4 #5: a 100-instance field must (a) intersect correctly
+    and (b) be gated by the per-instance AABB pre-cull so per-bounce
+    cost scales with ENTERED instances, not the instance count. The
+    entered-count is asserted directly from the slab masks the dispatch
+    uses to skip instances via lax.cond."""
+    verts, idx = _icosphere(0.4, 1)
+    b = SceneBuilder()
+    m = b.matte(kd=(0.6, 0.6, 0.6))
+    proto = b.instanced_prototype(verts, idx)
+    rng = np.random.RandomState(7)
+    centers = np.stack([rng.uniform(-20, 20, 100),
+                        rng.uniform(-20, 20, 100),
+                        rng.uniform(-40, -5, 100)], axis=1)
+    for c in centers:
+        b.add_instance(proto, m, _translate(*c))
+    b.point_light((0.0, 30.0, 0.0), (900.0, 900.0, 900.0))
+    scene = b.build()
+    iset = scene.instances[0]
+
+    # narrow ray bundle aimed at instance 0 only
+    n = 64
+    o = jnp.asarray(np.tile(centers[0] + [0, 0, 20], (n, 1)), Float)
+    jitter = rng.uniform(-0.05, 0.05, (n, 3)).astype(np.float32)
+    d = jnp.asarray((centers[0] - (centers[0] + [0, 0, 20])) + jitter, Float)
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    hit = scenemod.intersect(scene, o, d)
+    assert bool(jnp.all(hit.valid)), "bundle aimed at instance 0 must hit"
+    # the pre-cull must admit only a handful of the 100 instances
+    tmin = jnp.zeros(n, Float)
+    tmax = jnp.full(n, 1e30, Float)
+    entered = sum(int(jnp.any(instmod.entered(iset, i, o, d, tmin, tmax)))
+                  for i in range(iset.count))
+    assert entered <= 5, entered
+
+    # brute comparison on a wider bundle: pre-cull must not change hits
+    o2 = jnp.asarray(np.tile([[0.0, 0.0, 20.0]], (n, 1)), Float)
+    dirs = rng.uniform(-1, 1, (n, 3)).astype(np.float32)
+    dirs[:, 2] = -np.abs(dirs[:, 2]) - 0.2
+    d2 = jnp.asarray(dirs, Float)
+    d2 = d2 / jnp.linalg.norm(d2, axis=-1, keepdims=True)
+    hit2 = scenemod.intersect(scene, o2, d2)
+    # reference: disable the cull by inflating the AABBs
+    import dataclasses
+    big = dataclasses.replace(
+        iset, bmin=jnp.full_like(iset.bmin, -1e30),
+        bmax=jnp.full_like(iset.bmax, 1e30))
+    scene_nocull = scene._replace(instances=(big,))
+    hit_ref = scenemod.intersect(scene_nocull, o2, d2)
+    np.testing.assert_array_equal(np.asarray(hit2.valid), np.asarray(hit_ref.valid))
+    np.testing.assert_allclose(np.asarray(hit2.t), np.asarray(hit_ref.t), rtol=1e-6)
+
+
+def test_emissive_instance():
+    """Emissive instances: the transformed prototype is registered as a
+    tri area light (explicit corners), so NEE samples it and BSDF hits
+    pick up Le with the right MIS weight — cross-checked against the
+    IDENTICAL scene built without instancing (beyond-reference feature:
+    TransformedPrimitive::get_area_light is None, primitive.rs:161)."""
+    from pbrt_tpu.integrate import driver, path
+    from pbrt_tpu.core import samplers as smp
+
+    quad_v = np.array([[-0.3, 0, -0.3], [0.3, 0, -0.3],
+                       [0.3, 0, 0.3], [-0.3, 0, 0.3]], np.float32)
+    quad_i = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+    lift = np.eye(4); lift[:3, 3] = (0.5, 0.99, -0.5)
+
+    def build(instanced):
+        b = SceneBuilder()
+        white = b.matte(kd=(0.73, 0.73, 0.73))
+        s = 1.0
+        b.add_quad([0, 0, 0], [s, 0, 0], [s, 0, -s], [0, 0, -s], white)
+        b.add_quad([0, 0, -s], [s, 0, -s], [s, s, -s], [0, s, -s], white)
+        if instanced:
+            black = b.matte(kd=(0.0, 0.0, 0.0))
+            proto = b.instanced_prototype(quad_v, quad_i)
+            b.add_instance(proto, black, lift, emit=(10.0, 10.0, 10.0))
+        else:
+            m = np.asarray(lift)
+            vw = quad_v @ m[:3, :3].T.astype(np.float32) + m[:3, 3].astype(np.float32)
+            b.area_light_mesh(vw, quad_i, radiance=(10.0, 10.0, 10.0))
+        return b.build()
+
+    from scenes.cornell import cornell_camera
+    cam = cornell_camera((24, 24))
+    cfg = driver.RenderConfig(width=24, height=24, spp=16, max_depth=2,
+                              sampler=smp.SamplerConfig(kind="zerotwo", spp=16))
+    img_i = np.asarray(driver.render(build(True), cam, cfg, path.make_li(cfg)))
+    img_r = np.asarray(driver.render(build(False), cam, cfg, path.make_li(cfg)))
+    assert img_i.mean() > 0.01
+    np.testing.assert_allclose(img_i.mean(), img_r.mean(), rtol=0.05)
+    # pixelwise agreement (same estimator, same light geometry)
+    err = np.abs(img_i - img_r).mean() / img_r.mean()
+    assert err < 0.10, err

@@ -91,3 +91,38 @@ def test_spectral_render_matches_rgb_render():
     err = np.abs(rgb_s - rgb).mean() / max(rgb.mean(), 1e-6)
     assert err < 0.12, err
     np.testing.assert_allclose(rgb_s.mean(), rgb.mean(), rtol=0.08)
+
+
+def test_spectral_textured_scene():
+    """Textured materials in spectral mode: texel RGB values scale the
+    spectralised constants (double basis projection — documented in
+    integrate/spectral.py). On a checkerboard Cornell floor the spectral
+    render must still track the RGB render within a few percent."""
+    from pbrt_tpu.api import SceneBuilder
+    from pbrt_tpu.integrate import driver, path, spectral
+    from pbrt_tpu.shade import materials as matmod
+    from scenes.cornell import cornell_camera
+
+    b = SceneBuilder()
+    tex = b.textures.checkerboard((0.9, 0.9, 0.2), (0.2, 0.2, 0.8),
+                                  su=6.0, sv=6.0)
+    floor = b.material(kind=matmod.MAT_MATTE, kd=(1.0, 1.0, 1.0),
+                       kd_tex=tex, sigma=0.0)
+    white = b.matte(kd=(0.73, 0.73, 0.73))
+    s = 1.0
+    b.add_quad([0, 0, 0], [s, 0, 0], [s, 0, -s], [0, 0, -s], floor)
+    b.add_quad([0, 0, -s], [s, 0, -s], [s, s, -s], [0, s, -s], white)
+    b.area_light_quad([0.35, s - 1e-3, -0.65], [0.65, s - 1e-3, -0.65],
+                      [0.65, s - 1e-3, -0.35], [0.35, s - 1e-3, -0.35],
+                      radiance=(12.0, 12.0, 12.0))
+    scene = b.build()
+    cam = cornell_camera((24, 24))
+    cfg = driver.RenderConfig(width=24, height=24, spp=4, max_depth=2,
+                              sampler=smp.SamplerConfig(kind="stratified", spp=4))
+    sp, rgb_s = spectral.render_spectral(scene, cam, cfg, path.make_li, n_bins=12)
+    rgb = np.asarray(driver.render(scene, cam, cfg, path.make_li(cfg)))
+    rgb_s = np.asarray(rgb_s)
+    assert np.isnan(rgb_s).sum() == 0
+    err = np.abs(rgb_s - rgb).mean() / max(rgb.mean(), 1e-6)
+    assert err < 0.15, err
+    np.testing.assert_allclose(rgb_s.mean(), rgb.mean(), rtol=0.10)
