@@ -43,7 +43,10 @@ import numpy as np
 from ..core.types import Float, Int, INF
 from . import triangle as trimod
 
-TILE = 256           # rays per tile
+# rays per tile: 512 measured best on v5e with the lane-compacted kernel
+# (fixed per-tile costs amortise over more rays while compaction keeps the
+# streamed matmul at 128 columns; 1024 exceeds the 16M scoped-VMEM limit)
+TILE = int(os.environ.get("PBRT_TPU_TILE", 512))
 _SLOT_BITS = 11      # low mantissa bits of t reused for the slot index
 
 # tri-state override for the pallas kernel path: None = auto (use the
@@ -547,8 +550,9 @@ def _pallas_inputs(cs, comp, os_, ds_, interpret=False):
     # the coverage matmul entirely (dead-suffix gating)
     n_live = jnp.sum((comp["tmax"] > comp["tmin"]).astype(jnp.int32))
     n_live_tiles = (n_live + TILE - 1) // TILE
-    tnear = kp.coverage_tiles(planes, cs.cov_mxu, c,
-                              n_live_tiles=n_live_tiles, interpret=interpret)
+    tnear, covbits = kp.coverage_tiles(planes, cs.cov_mxu, c,
+                                       n_live_tiles=n_live_tiles,
+                                       interpret=interpret)
     counts = jnp.sum((tnear < INF).astype(Int), axis=1)
     corder = jnp.argsort(tnear, axis=1).astype(Int)
     tnear_sorted = jnp.take_along_axis(tnear, corder, axis=1)
@@ -569,7 +573,7 @@ def _pallas_inputs(cs, comp, os_, ds_, interpret=False):
         corder = corder[:, :cmax]
         tnear_sorted = tnear_sorted[:, :cmax]
         counts = jnp.minimum(counts, cmax)
-    return planes, corder, tnear_sorted, counts
+    return planes, corder, tnear_sorted, counts, covbits
 
 
 def intersect_pallas(cs: ClusterSet, o, d, t_min, t_max, interpret=False):
@@ -585,11 +589,12 @@ def intersect_pallas(cs: ClusterSet, o, d, t_min, t_max, interpret=False):
     from ..kernels import cluster_pallas as kp
     shp, n, order, comp, os_, ds_, nt = _prepare(cs, o, d, t_min, t_max)
     k = cs.cluster_size
-    planes, corder_p, tnear_p, counts = _pallas_inputs(cs, comp, os_, ds_,
-                                                       interpret=interpret)
+    planes, corder_p, tnear_p, counts, covbits = _pallas_inputs(
+        cs, comp, os_, ds_, interpret=interpret)
 
     t_best, gslot, bary = kp.traverse_tiles(cs.packed_mxu, planes, corder_p,
-                                            tnear_p, counts, interpret=interpret)
+                                            tnear_p, counts, covbits=covbits,
+                                            interpret=interpret)
     # kernel returns GLOBAL tri slots (cluster_id·K + lane): one flat
     # gather resolves the original triangle id
     hit = gslot >= 0
@@ -636,11 +641,12 @@ def intersect_occluded_pallas(cs: ClusterSet, o, d, t_min, t_max,
     _, _, order, comp, os_, ds_, nt = _prepare(cs, oc, dc, tminc, tmaxc,
                                                flag=flag)
     k = cs.cluster_size
-    planes, corder_p, tnear_p, counts = _pallas_inputs(cs, comp, os_, ds_,
-                                                       interpret=interpret)
+    planes, corder_p, tnear_p, counts, covbits = _pallas_inputs(
+        cs, comp, os_, ds_, interpret=interpret)
     ah = comp["flag"][:, None, :]
     t_best, gslot, bary = kp.traverse_tiles(cs.packed_mxu, planes, corder_p,
                                             tnear_p, counts, anyhit=ah,
+                                            covbits=covbits,
                                             interpret=interpret)
     hit = gslot >= 0
     tid = cs.c_tri_id.reshape(-1)[jnp.maximum(gslot, 0)]
@@ -665,9 +671,9 @@ def occluded_pallas(cs: ClusterSet, o, d, t_min, t_max, interpret=False):
     as `occluded`."""
     from ..kernels import cluster_pallas as kp
     shp, n, order, comp, os_, ds_, nt = _prepare(cs, o, d, t_min, t_max)
-    planes, corder_p, tnear_p, counts = _pallas_inputs(cs, comp, os_, ds_,
-                                                       interpret=interpret)
+    planes, corder_p, tnear_p, counts, covbits = _pallas_inputs(
+        cs, comp, os_, ds_, interpret=interpret)
     occ = kp.occluded_tiles(cs.packed_mxu, planes, corder_p, tnear_p, counts,
-                            interpret=interpret)
+                            covbits=covbits, interpret=interpret)
     inv = jnp.argsort(order)
     return occ.reshape(-1)[inv].reshape(shp)

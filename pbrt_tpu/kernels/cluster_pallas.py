@@ -73,6 +73,45 @@ TPB = int(os.environ.get("PBRT_TPU_TPB", 8))  # ray tiles per grid step —
 SLOT_MASK = 2047
 _EPS = 1e-12
 
+# Lane compaction (round 5): tile-union coverage tests ~30x more
+# (ray, cluster) pairs than rays individually need (profile_coverage.py),
+# and the kernel bound is the MXU output stream — so per round, pack the
+# lanes that actually enter this round's clusters into 128-column blocks
+# with one-hot MXU permutation matmuls and stream 5·CH·K × 128·blocks
+# instead of 5·CH·K × TILE. rank = mask @ strict-upper-tri-ones;
+# select = (iota == rank); compact/expand are exact one-hot _sel_dot
+# matmuls.
+LC = os.environ.get("PBRT_TPU_LC", "1") != "0"
+LC_NB = int(os.environ.get("PBRT_TPU_LC_NB", 128))  # compacted block width
+
+
+def _split3(A):
+    """Exact 3-way bf16 split: a1 + a2 + a3 == A for every f32 (8+8+8
+    mantissa bits cover f32's 24)."""
+    a1 = A.astype(jnp.bfloat16)
+    r1 = A - a1.astype(jnp.float32)
+    a2 = r1.astype(jnp.bfloat16)
+    a3 = (r1 - a2.astype(jnp.float32)).astype(jnp.bfloat16)
+    return a1, a2, a3
+
+
+def _sel_dot(A, Q, transpose_q):
+    """EXACT f32 one-hot select matmul: A f32, Q a 0/1 selection matrix
+    with at most one 1 per output element. Splitting A exactly into
+    three bf16 planes makes every partial product exact, and each output
+    sums exactly one selected product per plane — so the f32 result is
+    bit-exact regardless of the MXU's bf16 passes (no reliance on
+    Precision.HIGHEST, which Mosaic may lower to a single pass).
+    transpose_q: contract A dim1 with Q dim1 (compaction, Q (NB, K))
+    instead of Q dim0 (expansion, Q (K, n))."""
+    m = A.shape[0]
+    a1, a2, a3 = _split3(A)
+    A3 = jnp.concatenate([a1, a2, a3], axis=0)
+    dims = (((1,), (1,)), ((), ())) if transpose_q else (((1,), (0,)), ((), ()))
+    W = jax.lax.dot_general(A3, Q.astype(jnp.bfloat16), dims,
+                            preferred_element_type=jnp.float32)
+    return W[0:m] + W[m:2 * m] + W[2 * m:3 * m]
+
 
 def _same_sign(w0, w1, w2):
     """Plücker volume sign-consistency via pairwise products — 8 VPU ops
@@ -201,8 +240,11 @@ def _assemble_L(plane_refs, tt=0):
 
 
 def _make_coverage_kernel(tile, cpad):
+    nb32 = cpad // 32
+
     def kernel(*refs):
-        nlive_ref, plane_refs, (cov_ref, tnear_out) = refs[0], refs[1:9], refs[9:]
+        nlive_ref, plane_refs = refs[0], refs[1:9]
+        cov_ref, tnear_out, covbits_out = refs[9], refs[10], refs[11]
         base = pl.program_id(0) * TPB
         for tt in range(TPB):
 
@@ -225,11 +267,20 @@ def _make_coverage_kernel(tile, cpad):
                 hit = tn <= tf                                  # (cpad, TILE)
                 tnear = jnp.min(jnp.where(hit, tn, INF), axis=1, keepdims=True)
                 tnear_out[tt, :, :] = tnear.reshape(1, cpad)
+                # per-LANE coverage bitmask, packed over cluster ids
+                # (bit c%32 of row c//32): drives the traversal kernel's
+                # per-round lane compaction.
+                h3 = hit.astype(jnp.int32).reshape(nb32, 32, tile)
+                acc = jnp.zeros((nb32, tile), jnp.int32)
+                for b in range(32):
+                    acc = acc | (h3[:, b, :] << b)
+                covbits_out[tt, :, :] = acc
 
             @pl.when(base + tt >= nlive_ref[0, 0, 0])
             def _():
                 # dead tile (dead lanes sort to the suffix): no coverage
                 tnear_out[tt, :, :] = jnp.full((1, cpad), INF, jnp.float32)
+                covbits_out[tt, :, :] = jnp.zeros((nb32, tile), jnp.int32)
 
     return kernel
 
@@ -253,14 +304,16 @@ def coverage_tiles(planes, cov_mxu, n_clusters, n_live_tiles=None,
     lanes sort to the suffix) skip the matmul and write INF.
 
     planes: 8×(nt, 1, TILE) f32 with nt % TPB == 0; cov_mxu
-    (6, 6·CPAD) f32; returns tnear (nt, CPAD) f32 with INF where the
-    tile does not enter the cluster (pad columns forced to INF)."""
+    (6, 6·CPAD) f32; returns (tnear (nt, CPAD) f32 with INF where the
+    tile does not enter the cluster (pad columns forced to INF),
+    covbits (nt, CPAD/32, TILE) i32 per-lane coverage bitmasks)."""
     nt, _, tile = planes[0].shape
     assert nt % TPB == 0
     cpad = cov_mxu.shape[1] // 6
+    nb32 = cpad // 32
     if n_live_tiles is None:
         n_live_tiles = jnp.full((), nt, jnp.int32)
-    tnear = pl.pallas_call(
+    tnear, covbits = pl.pallas_call(
         _make_coverage_kernel(tile, cpad),
         grid=(nt // TPB,),
         in_specs=[
@@ -271,12 +324,16 @@ def coverage_tiles(planes, cov_mxu, n_clusters, n_live_tiles=None,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[pl.BlockSpec((TPB, 1, cpad), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((TPB, nb32, tile), lambda i: (i, 0, 0),
                                 memory_space=pltpu.VMEM)],
-        out_shape=[jax.ShapeDtypeStruct((nt, 1, cpad), jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((nt, 1, cpad), jnp.float32),
+                   jax.ShapeDtypeStruct((nt, nb32, tile), jnp.int32)],
         interpret=interpret,
-    )(n_live_tiles.astype(jnp.int32).reshape(1, 1, 1), *planes, cov_mxu)[0][:, 0, :]
+    )(n_live_tiles.astype(jnp.int32).reshape(1, 1, 1), *planes, cov_mxu)
+    tnear = tnear[:, 0, :]
     col = jax.lax.broadcasted_iota(jnp.int32, (1, cpad), 1)
-    return jnp.where(col < n_clusters, tnear, INF)
+    return jnp.where(col < n_clusters, tnear, INF), covbits
 
 
 # ------------------------------------------------------------ traversal
@@ -423,6 +480,182 @@ def _make_closest_kernel(tile, k, approx=True):
     return kernel
 
 
+def _make_closest_kernel_lc(tile, k, approx=True):
+    """Lane-compacted closest-hit kernel (round-5 redesign; see LC).
+
+    Per (round, block) iteration of ONE flat while loop, the per-lane
+    participation mask (coverage bit of any of the round's clusters AND
+    entry t not past the lane's best hit) is ranked with a one-hot MXU
+    matmul and the masked lanes are packed into an LC_NB-column block;
+    the Plücker MXU pass runs on the compacted block only. Rounds whose
+    masks fit one block pay ONE 5·CH·K × 128 stream instead of
+    5·CH·K × TILE — the measured kernel bound — and extra blocks only
+    run when >NB lanes participate (the loop simply revisits the round
+    with b+1). The body is straight-line (no nested cond/fori around the
+    matmul): nested block control flow mis-lowers on Mosaic — two
+    different dump builds of the same math returned contradictory
+    values in-kernel — while this flat shape matches the proven
+    full-tile kernel."""
+    chk = CH * k
+
+    def kernel(*refs):
+        counts_ref, corder_ref, tnear_ref = refs[:3]
+        plane_refs = refs[3:11]
+        ah_ref, cb_ref, packed_ref = refs[11], refs[12], refs[13]
+        t_out, slot_out, bary_out, scratch, sems = refs[14:]
+        cpad = tnear_ref.shape[2]
+        slot_iota = jax.lax.broadcasted_iota(jnp.int32, (chk, 1), 0)
+        # strict upper-triangular ones: rank[j] = #masked lanes before j
+        i0 = jax.lax.broadcasted_iota(jnp.int32, (tile, tile), 0)
+        i1 = jax.lax.broadcasted_iota(jnp.int32, (tile, tile), 1)
+        UT = (i0 < i1).astype(jnp.float32)
+        blk_iota = jax.lax.broadcasted_iota(jnp.int32, (LC_NB, tile), 0)
+
+        def live_tile(tt, count, n_rounds):
+            L_T, tmin, tmax = _assemble_L(plane_refs, tt)     # (16, TILE)
+            anyhit = ah_ref[tt] > 0.0                          # (1, TILE)
+            _start_round(corder_ref, tt, packed_ref, scratch, sems, 0, 0)
+
+            def cond(carry):
+                r, b, t_best, best_slot, tb12, done = carry
+                return (r < n_rounds) & ~done
+
+            def body(carry):
+                r, b, t_best, best_slot, tb12, done = carry
+                cur = r % 2
+
+                @pl.when(b == 0)
+                def _():
+                    # entering round r: prefetch r+1, wait for r
+                    @pl.when(r + 1 < n_rounds)
+                    def _():
+                        _start_round(corder_ref, tt, packed_ref, scratch,
+                                     sems, r + 1, 1 - cur)
+                    _wait_round(packed_ref, scratch, sems, cur)
+
+                # --- per-lane round mask: lane enters one of this
+                # round's clusters (coverage bit) AND that cluster's
+                # tile entry t could still beat the lane's best hit.
+                # Any-hit lanes that found a hit carry t_best = -1 <
+                # every entry t — they drop out of all later masks.
+                mask = jnp.zeros((1, tile), jnp.bool_)
+                cids = []
+                for j in range(CH):
+                    cid = corder_ref[tt, 0, r * CH + j]
+                    cids.append(cid)
+                    row = cb_ref[tt, pl.ds(cid // 32, 1), :]   # (1, TILE)
+                    bitj = ((row >> (cid % 32)) & 1) != 0
+                    tn_j = tnear_ref[tt, 0, r * CH + j]
+                    mask = mask | (bitj & (t_best >= tn_j))
+                maskf = mask.astype(jnp.float32)
+                # rank = #masked lanes before j; 0/1 products are exact
+                # in bf16 and the f32 accumulator sums them exactly
+                rank_i = jax.lax.dot_general(
+                    maskf, UT, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32).astype(jnp.int32)
+                ltot = jnp.sum(maskf).astype(jnp.int32)
+
+                # --- block b of this round (straight-line compute; an
+                # empty Q self-neutralises: nd = 0 → no key → no update)
+                sel = (blk_iota == (rank_i - LC_NB * b)) & mask
+                Q = sel.astype(jnp.float32)                   # (NB, TILE)
+                # compact rays + per-lane windows (exact f32: each
+                # output column is one selected product)
+                aux = jnp.concatenate([L_T, tmin, t_best], axis=0)
+                aux_c = _sel_dot(aux, Q, transpose_q=True)    # (18, NB)
+                Lc = aux_c[0:16]
+                tmin_c = aux_c[16:17]
+                tbest_c = aux_c[17:18]
+                w0, w1, w2, nd, tnum = _round_planes(Lc, scratch[cur], k)
+                t = tnum * _recip(nd, approx)
+                ok = _hit_mask(w0, w1, w2, nd) & (t > tmin_c)
+                t_bits = jax.lax.bitcast_convert_type(t, jnp.int32)
+                key = jnp.where(ok,
+                                (t_bits & ~jnp.int32(SLOT_MASK)) | slot_iota,
+                                jnp.int32(0x7FFFFFFF))
+                kmin = jnp.min(key, axis=0, keepdims=True)    # (1, NB)
+                tj = jax.lax.bitcast_convert_type(
+                    kmin & ~jnp.int32(SLOT_MASK), jnp.float32)
+                upd_c = tj < tbest_c
+
+                # extraction (compacted domain) + expansion to lanes
+                selk = key == kmin
+                selw = lambda a: jnp.sum(jnp.where(selk, a, 0.0),
+                                         axis=0, keepdims=True)
+                s_nd = selw(nd)
+                s_t = selw(tnum) / jnp.where(jnp.abs(s_nd) > _EPS, s_nd, _EPS)
+                s_w0 = selw(w0)
+                s_w1 = selw(w1)
+                s_w2 = selw(w2)
+                s_sum = s_w0 + s_w1 + s_w2
+                inv = 1.0 / jnp.where(jnp.abs(s_sum) > 1e-30, s_sum, 1e-30)
+                # winner's global tri slot = cluster_id·K + lane
+                sw = kmin & jnp.int32(SLOT_MASK)
+                jwin = sw // k
+                gcid = jnp.zeros_like(sw)
+                for j in range(CH):
+                    gcid = jnp.where(jwin == j, cids[j], gcid)
+                gslot = gcid * k + (sw % k)
+                updf = upd_c.astype(jnp.float32)
+                # expand (exact f32 one-hot matmul); gslot < C·K < 2^24
+                # is exact as f32; ×updf zeroes non-winning columns so
+                # NaN/garbage in missed columns never leaves the block
+                rows = jnp.concatenate(
+                    [updf, jnp.where(upd_c, s_t, 0.0),
+                     jnp.where(upd_c, s_w2 * inv, 0.0),
+                     jnp.where(upd_c, s_w0 * inv, 0.0),
+                     jnp.where(upd_c, tj, 0.0),
+                     gslot.astype(jnp.float32) * updf], axis=0)
+                exp = _sel_dot(rows, Q, transpose_q=False)    # (6, TILE)
+                upd = exp[0:1] > 0.5
+                tb12 = jnp.where(upd, exp[1:4], tb12)
+                best_slot = jnp.where(
+                    upd, (exp[5:6] + 0.5).astype(jnp.int32), best_slot)
+                t_best = jnp.where(upd, jnp.where(anyhit, -1.0, exp[4:5]),
+                                   t_best)
+
+                # --- advance (r, b): revisit the round while more
+                # blocks of masked lanes remain, else next round with
+                # the ordered-entry-t pruning check
+                more = (b + 1) * LC_NB < ltot
+                r_next = jnp.where(more, r, r + 1)
+                b_next = jnp.where(more, b + 1, 0)
+                nxt = jnp.minimum(jnp.maximum(r_next * CH, 0), cpad - 1)
+                done = ~more & (tnear_ref[tt, 0, nxt] >= jnp.max(t_best))
+                return r_next, b_next, t_best, best_slot, tb12, done
+
+            init = (jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32), tmax,
+                    jnp.full((1, tile), -1, jnp.int32),
+                    jnp.concatenate([tmax, jnp.zeros((2, tile), jnp.float32)],
+                                    axis=0),
+                    jnp.zeros((), jnp.bool_))
+            r_end, _, t_best, best_slot, tb12, _ = jax.lax.while_loop(
+                cond, body, init)
+
+            # drain: an early exit leaves round r_end's DMA in flight
+            @pl.when(r_end < n_rounds)
+            def _():
+                _wait_round(packed_ref, scratch, sems, r_end % 2)
+            t_out[tt, :, :] = tb12[0:1, :]
+            slot_out[tt, :, :] = best_slot
+            bary_out[tt, :, :] = tb12[1:3, :]
+
+        for tt in range(TPB):
+            count = counts_ref[tt, 0, 0]
+            n_rounds = (count + CH - 1) // CH
+
+            @pl.when(n_rounds == 0)
+            def _():
+                t_out[tt, :, :] = plane_refs[7][tt]          # = tmax (miss)
+                slot_out[tt, :, :] = jnp.full((1, tile), -1, jnp.int32)
+                bary_out[tt, :, :] = jnp.zeros((2, tile), jnp.float32)
+
+            @pl.when(n_rounds > 0)
+            def _():
+                live_tile(tt, count, n_rounds)
+
+    return kernel
+
 def _make_anyhit_kernel(tile, k, approx=True):
     def kernel(*refs):
         counts_ref, corder_ref, tnear_ref = refs[:3]
@@ -481,19 +714,23 @@ def _make_anyhit_kernel(tile, k, approx=True):
     return kernel
 
 
-def _common_specs(nt, tile, cpad, out_widths, extra_planes=0):
+def _common_specs(nt, tile, cpad, out_widths, extra_planes=0, nb32=0):
     """(in_specs, out_specs) for the traversal kernels. Each grid step
     covers TPB tiles (the ~3.2µs per-step overhead dominates small
     tiles — profile_overhead.py). counts/corder/tnear ride as per-step
     SMEM blocks (scalar reads drive the DMA engine). `extra_planes`
     appends further (nt, 1, TILE) VMEM planes (e.g. the anyhit flag)
-    between the ray planes and the trailing ANY ref, keeping the spec
-    list and the kernel's ref unpacking defined in one place."""
+    between the ray planes and the trailing ANY ref; `nb32` > 0 appends
+    the (nt, nb32, TILE) i32 coverage-bitmask block after those,
+    keeping the spec list and the kernel's ref unpacking defined in one
+    place."""
     in_specs = [
         pl.BlockSpec((TPB, 1, 1), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
         pl.BlockSpec((TPB, 1, cpad), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
         pl.BlockSpec((TPB, 1, cpad), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
-    ] + _plane_specs(tile) + _plane_specs(tile)[:1] * extra_planes + [
+    ] + _plane_specs(tile) + _plane_specs(tile)[:1] * extra_planes + ([
+        pl.BlockSpec((TPB, nb32, tile), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM)] if nb32 else []) + [
         pl.BlockSpec(memory_space=pltpu.ANY),
     ]
     out_specs = [
@@ -505,7 +742,7 @@ def _common_specs(nt, tile, cpad, out_widths, extra_planes=0):
 
 
 def traverse_tiles(packed_mxu, planes, corder, tnear, counts, anyhit=None,
-                   interpret=False):
+                   covbits=None, interpret=False):
     """Closest hit. packed_mxu (C, 16, 5, K) f32, planes 8×(nt, 1, TILE)
     f32 (nt % TPB == 0), corder (nt, CPAD) i32 / tnear (nt, CPAD) f32
     (CPAD a CH multiple, ascending entry t), counts (nt,) i32 →
@@ -525,10 +762,19 @@ def traverse_tiles(packed_mxu, planes, corder, tnear, counts, anyhit=None,
     if anyhit is None:
         anyhit = jnp.zeros((nt, 1, tile), jnp.float32)
     cpad = corder.shape[1]
+    use_lc = LC and covbits is not None
+    if use_lc:
+        nb32 = covbits.shape[1]
+        kern = _make_closest_kernel_lc(tile, k, approx=not interpret)
+        extra = (covbits,)
+    else:
+        nb32 = 0
+        kern = _make_closest_kernel(tile, k, approx=not interpret)
+        extra = ()
     in_specs, out_specs = _common_specs(nt, tile, cpad, (1, 1, 2),
-                                        extra_planes=1)   # anyhit flag
+                                        extra_planes=1, nb32=nb32)
     t_b, slot, bary = pl.pallas_call(
-        _make_closest_kernel(tile, k, approx=not interpret),
+        kern,
         grid=(nt // TPB,), in_specs=in_specs, out_specs=out_specs,
         out_shape=[jax.ShapeDtypeStruct((nt, 1, tile), jnp.float32),
                    jax.ShapeDtypeStruct((nt, 1, tile), jnp.int32),
@@ -539,13 +785,17 @@ def traverse_tiles(packed_mxu, planes, corder, tnear, counts, anyhit=None,
         ],
         interpret=interpret,
     )(counts[:, None, None].astype(jnp.int32), corder[:, None, :],
-      tnear[:, None, :], *planes, anyhit, packed_mxu)
+      tnear[:, None, :], *planes, anyhit, *extra, packed_mxu)
     return t_b[:, 0, :], slot[:, 0, :], bary
 
 
-def occluded_tiles(packed_mxu, planes, corder, tnear, counts, interpret=False):
+def occluded_tiles(packed_mxu, planes, corder, tnear, counts, covbits=None,
+                   interpret=False):
     """Any hit (shadow rays). Same layout contract as traverse_tiles →
-    occ (nt, TILE) bool."""
+    occ (nt, TILE) bool. (covbits accepted for API symmetry; the
+    standalone any-hit kernel terminates on first hit per tile and is
+    off the bench hot path — the fused closest+any-hit launch is the
+    lane-compacted one.)"""
     nt, _, tile = planes[0].shape
     c, nf, nb, k = packed_mxu.shape
     assert nt % TPB == 0
