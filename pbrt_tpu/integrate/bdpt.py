@@ -22,6 +22,16 @@ are first-class: escaped camera subpaths terminate in VTX_ENV vertices
 carry the infinite-light density corrections (bdpt.rs:223), and the
 env-lit cross-validation runs pixel-wise against the path tracer.
 
+Media (round 5, VERDICT r4 #3): the walks are medium-aware — per
+segment a global-medium scatter (shade/media.medium_sample) creates a
+VTX_MEDIUM phase vertex (HG f/pdf, cos-free density conversions,
+bdpt.rs:860-958), and every connection strategy carries Tr and treats
+medium endpoints as connectible with unit cos (bdpt.rs:1003-1024).
+Cross-validated against volpath on a homogeneous-fog Cornell
+(tests/test_emission_media.py). Medium vertices live in the global
+camera medium; per-interface medium switching inside the bidirectional
+walks (glass-enclosed media) is not tracked.
+
 The round-4 ~4% area-lit energy deficit was a single bug: sample_li
 returned no light-point normal, so every s=1 MIS density conversion at
 the light endpoint assumed cos=1 (overstating the (2,1)-strategy
@@ -49,6 +59,8 @@ from ..lights import lights as lightsmod
 from ..lights.lights import LIGHT_INFINITE
 from ..lights.distrib import power_distribution
 from ..shade import materials as matmod
+from ..shade import media as medmod
+from ..core.rng import hash_combine
 from ..cameras import camera_pdf_we, camera_sample_wi, generate_rays
 from ..film import film as filmmod
 from . import common
@@ -60,6 +72,9 @@ VTX_SURFACE = 2
 VTX_ENV = 3      # camera-path escape to the infinite light (bdpt.rs:223
 #                  infinite-light vertex; stored on a far sphere at
 #                  2*world_radius so area-density conversions stay uniform)
+VTX_MEDIUM = 4   # phase-function vertex inside a participating medium
+#                  (random_walk medium branch, bdpt.rs:880-905): density
+#                  conversions drop the cos term, f/pdf are the HG phase
 
 
 class Path(NamedTuple):
@@ -109,21 +124,48 @@ def convert_density(pdf_solid, p_from, p_to, ng_to):
     return pdf_solid * cos * inv_d2
 
 
+def _conv_to_vertex(pdf_solid, p_from, path, i):
+    """convert_density whose TARGET is path vertex i: medium vertices
+    have no surface, so the cos factor is 1 (bdpt.rs convert_density
+    IsOnSurface branch)."""
+    w = path.p[:, i] - p_from
+    d2 = vm.length_squared(w)
+    inv_d2 = 1.0 / jnp.maximum(d2, 1e-12)
+    cos = jnp.where(path.vtype[:, i] == VTX_MEDIUM, 1.0,
+                    vm.absdot(vm.normalize(w), path.ng[:, i]))
+    return pdf_solid * cos * inv_d2
+
+
+def _phase_g0(scene, n):
+    """HG g of the global camera medium (BDPT medium vertices live in
+    medium 0 — per-interface medium tracking inside the bidirectional
+    walks is not supported; see module docstring)."""
+    return medmod.phase_g(scene.media, jnp.zeros(n, Int))
+
+
 def _vertex_f(scene, path, i, wo_dir, wi_dir):
     """BSDF value at vertex i for directions wo (towards previous) and
-    wi (towards the other subpath)."""
+    wi (towards the other subpath); the HG phase at medium vertices
+    (Vertex::f medium branch, bdpt.rs)."""
     lp = matmod.resolve(scene.materials, path.mid[:, i], path.uv[:, i], path.p[:, i],
                         scene.textures)
     b = vm.normalize(vm.cross(path.ns[:, i], path.dpdu[:, i]))
     t = vm.cross(b, path.ns[:, i])
     frame = common.Frame(t=t, b=b, n=path.ns[:, i])
-    return matmod.evaluate_f(lp, scene.materials.kinds_present,
-                             frame.to_local(wo_dir), frame.to_local(wi_dir))
+    f = matmod.evaluate_f(lp, scene.materials.kinds_present,
+                          frame.to_local(wo_dir), frame.to_local(wi_dir))
+    if scene.media is not None:
+        n = path.p.shape[0]
+        ph = medmod.hg_phase(vm.dot(wo_dir, wi_dir), _phase_g0(scene, n))
+        f = jnp.where((path.vtype[:, i] == VTX_MEDIUM)[:, None],
+                      ph[:, None], f)
+    return f
 
 
 def _vertex_pdf(scene, path, i, p_prev, p_next):
-    """Area pdf of sampling next from vertex i having arrived from prev
-    (Vertex::pdf, bdpt.rs:720-760)."""
+    """Solid-angle pdf of sampling next from vertex i having arrived
+    from prev (Vertex::pdf, bdpt.rs:720-760); the HG phase pdf at
+    medium vertices."""
     wo = vm.normalize(p_prev - path.p[:, i])
     wi = vm.normalize(p_next - path.p[:, i])
     lp = matmod.resolve(scene.materials, path.mid[:, i], path.uv[:, i], path.p[:, i],
@@ -133,6 +175,10 @@ def _vertex_pdf(scene, path, i, p_prev, p_next):
     frame = common.Frame(t=t, b=b, n=path.ns[:, i])
     pdf_sa = matmod.pdf(lp, scene.materials.kinds_present,
                         frame.to_local(wo), frame.to_local(wi))
+    if scene.media is not None:
+        n = path.p.shape[0]
+        ph = medmod.hg_phase(vm.dot(wo, wi), _phase_g0(scene, n))
+        pdf_sa = jnp.where(path.vtype[:, i] == VTX_MEDIUM, ph, pdf_sa)
     return pdf_sa  # converted by caller (needs target normal)
 
 
@@ -152,15 +198,55 @@ def _walk(scene, cfg, pid, sid, o, d, beta0, pdf_dir0, mode, dim_base, max_v,
     active = luminance(beta0) > 0
     nv = jnp.where(active, 1, 1).astype(Int)
 
+    media = scene.media
     for i in range(1, max_v):
         hit = scenemod.intersect(scene, o, d)
-        live = active & hit.valid & (hit.material_id >= 0)
+        # ---- medium interaction on the segment (random_walk medium
+        # branch, bdpt.rs:880-905): a scatter before the surface hit
+        # creates a PHASE vertex; beta picks up Tr·sigma_s/pdf. Medium
+        # vertices live in the global camera medium (0).
+        if media is not None:
+            seg_dist = jnp.where(hit.valid, hit.t, 2.0 * scene.world_radius)
+            u_med = smp.sample_1d(scfg, pid, sid, dim_base + 8 * i + 4)
+            u_ch = smp.sample_1d(scfg, pid, sid, dim_base + 8 * i + 5)
+            key = hash_combine(pid, sid, jnp.uint32(dim_base + 8 * i))
+            med0 = jnp.zeros(n, Int)
+            m_sampled, m_t, m_w = medmod.medium_sample(
+                media, med0, o, d, seg_dist, u_med, u_ch, key)
+            m_sampled = m_sampled & active
+            beta = jnp.where(active[:, None], beta * m_w, beta)
+            p_med = o + m_t[:, None] * d
+            # area density at the medium vertex: directional pdf / d²
+            # (no cos — bdpt.rs convert_density medium branch; the
+            # distance density rides in beta, as in the reference)
+            pdf_med = pdf_fwd_sa / jnp.maximum(
+                vm.length_squared(p_med - o), 1e-12)
+            path = _set_vertex(
+                path, i,
+                vtype=jnp.where(m_sampled, VTX_MEDIUM, path.vtype[:, i]),
+                p=jnp.where(m_sampled[:, None], p_med, path.p[:, i]),
+                ng=jnp.where(m_sampled[:, None], -d, path.ng[:, i]),
+                ns=jnp.where(m_sampled[:, None], -d, path.ns[:, i]),
+                beta=jnp.where(m_sampled[:, None], beta, path.beta[:, i]),
+                pdf_fwd=jnp.where(m_sampled, pdf_med, path.pdf_fwd[:, i]),
+                valid=path.valid[:, i] | m_sampled)
+            nv = jnp.where(m_sampled, i + 1, nv)
+            # phase continuation + reverse density at vertex i-1
+            g0 = _phase_g0(scene, n)
+            u_ph = smp.sample_2d(scfg, pid, sid, dim_base + 8 * i + 6)
+            wi_med, ph_pdf = medmod.hg_sample(d, g0, u_ph)
+            rev_med = _conv_to_vertex(ph_pdf, p_med, path, i - 1)
+            path = path._replace(pdf_rev=path.pdf_rev.at[:, i - 1].set(
+                jnp.where(m_sampled, rev_med, path.pdf_rev[:, i - 1])))
+        else:
+            m_sampled = jnp.zeros(n, bool)
+        live = active & hit.valid & (hit.material_id >= 0) & ~m_sampled
         pdf_area = convert_density(pdf_fwd_sa, o, hit.p, hit.ng)
         if mode == "camera" and lights.env_index >= 0:
             # escaped rays become infinite-light vertices (env handling
             # of connect_bdpt, bdpt.rs:1026-1162): position on the far
             # sphere, normal facing back along the ray
-            miss = active & ~hit.valid
+            miss = active & ~hit.valid & ~m_sampled
             t_far = 2.0 * scene.world_radius
             p_env = o + d * t_far
             ng_env = -d
@@ -214,7 +300,7 @@ def _walk(scene, cfg, pid, sid, o, d, beta0, pdf_dir0, mode, dim_base, max_v,
         # reverse pdf recorded at vertex i-1 (density of sampling wo from wi)
         pdf_rev_sa = matmod.pdf(lp, kinds, wi_l, wo_l)
         pdf_rev_sa = jnp.where(spec, 0.0, pdf_rev_sa)
-        pdf_rev_area = convert_density(pdf_rev_sa, hit.p, path.p[:, i - 1], path.ng[:, i - 1])
+        pdf_rev_area = _conv_to_vertex(pdf_rev_sa, hit.p, path, i - 1)
         path = path._replace(pdf_rev=path.pdf_rev.at[:, i - 1].set(
             jnp.where(live, pdf_rev_area, path.pdf_rev[:, i - 1])))
 
@@ -232,6 +318,13 @@ def _walk(scene, cfg, pid, sid, o, d, beta0, pdf_dir0, mode, dim_base, max_v,
         active = good
         o = vm.offset_ray_origin(hit.p, hit.ng, wi)
         d = wi
+        if media is not None:
+            # medium lanes continue with the phase sample: beta is
+            # unchanged (HG pdf == phase value), pdf_fwd = phase pdf
+            active = active | m_sampled
+            pdf_fwd_sa = jnp.where(m_sampled, ph_pdf, pdf_fwd_sa)
+            o = jnp.where(m_sampled[:, None], p_med, o)
+            d = jnp.where(m_sampled[:, None], wi_med, d)
     return path._replace(n_vertices=nv)
 
 
@@ -299,16 +392,28 @@ def _remap0(x):
     return jnp.where(x != 0.0, x, 1.0)
 
 
-def _g_term(scene, pa, nga, pb, ngb):
-    """Geometry term with visibility (bdpt.rs g(), :1003-1024)."""
+def _g_term(scene, pa, nga, pb, ngb, med_a=None, med_b=None, tr_key=None):
+    """Geometry term with visibility and medium transmittance
+    (bdpt.rs g(), :1003-1024): cos factors are 1 on medium endpoints,
+    and Tr of the global medium attenuates the connection."""
     w = pb - pa
     d2 = jnp.maximum(vm.length_squared(w), 1e-12)
     wn = w / jnp.sqrt(d2)[:, None]
-    g = vm.absdot(wn, nga) * vm.absdot(wn, ngb) / d2
+    cos_a = vm.absdot(wn, nga) if med_a is None else \
+        jnp.where(med_a, 1.0, vm.absdot(wn, nga))
+    cos_b = vm.absdot(wn, ngb) if med_b is None else \
+        jnp.where(med_b, 1.0, vm.absdot(wn, ngb))
+    g = cos_a * cos_b / d2
     o_sh = vm.offset_ray_origin(pa, nga, wn)
     dist = jnp.sqrt(d2)
     occ = scenemod.occluded(scene, o_sh, wn, t_max=jnp.maximum(dist * (1 - 1e-3), 1e-4))
-    return jnp.where(occ, 0.0, g), wn
+    gv = jnp.where(occ, 0.0, g)
+    if scene.media is not None:
+        n = pa.shape[0]
+        tr = medmod.medium_tr(scene.media, jnp.zeros(n, Int), pa, wn, dist,
+                              tr_key if tr_key is not None else jnp.uint32(17))
+        return gv[:, None] * tr, wn
+    return gv[:, None], wn
 
 
 def _mis_weight(scene, cpath, lpath, s, t, overrides):
@@ -433,8 +538,11 @@ def render(scene, camera, cfg: BDPTConfig, debug_strategies=False):
                             sel_env * lightsmod.env_pdf_li(lights, w_dir),
                             cpath.p[:, t - 2], cpath.p[:, t - 1],
                             cpath.ng[:, t - 1])
+                        cos_tm2 = jnp.where(
+                            cpath.vtype[:, t - 2] == VTX_MEDIUM, 1.0,
+                            vm.absdot(cpath.ng[:, t - 2], w_dir))
                         ptm_rev_e = (1.0 / (PI * scene.world_radius ** 2)) \
-                            * vm.absdot(cpath.ng[:, t - 2], w_dir)
+                            * cos_tm2
                         wmis_e = _mis_weight(scene, cpath, lpath, 0, t,
                                              dict(pt_rev=pt_rev_e,
                                                   ptm_rev=ptm_rev_e))
@@ -457,8 +565,8 @@ def render(scene, camera, cfg: BDPTConfig, debug_strategies=False):
                     wo_dir = vm.normalize(cpath.p[:, t - 2] - cpath.p[:, t - 1])
                     cos_l = vm.absdot(cpath.ng[:, t - 1], wo_dir)
                     pdf_le_dir = cos_l / PI   # cosine emission (area lights)
-                    ptm_rev = convert_density(pdf_le_dir, cpath.p[:, t - 1],
-                                              cpath.p[:, t - 2], cpath.ng[:, t - 2])
+                    ptm_rev = _conv_to_vertex(pdf_le_dir, cpath.p[:, t - 1],
+                                              cpath, t - 2)
                     wmis = _mis_weight(scene, cpath, lpath, 0, t,
                                        dict(pt_rev=pdf_origin, ptm_rev=ptm_rev))
                     L = L + jnp.where((ok & (luminance(contrib) > 0))[:, None],
@@ -466,11 +574,12 @@ def render(scene, camera, cfg: BDPTConfig, debug_strategies=False):
                     _rec((0, t), ok & (luminance(contrib) > 0), contrib, wmis)
                 elif s == 1:
                     # sample a light point, connect to camera vertex t-1
-                    # (must be a connectible SURFACE vertex — env escape
+                    # (connectible SURFACE or MEDIUM vertex — env escape
                     # vertices only terminate s=0 paths, bdpt.rs
                     # IsConnectible)
+                    med_c1 = cpath.vtype[:, t - 1] == VTX_MEDIUM
                     ok = cpath.valid[:, t - 1] & ~cpath.delta[:, t - 1] \
-                        & (cpath.vtype[:, t - 1] == VTX_SURFACE)
+                        & ((cpath.vtype[:, t - 1] == VTX_SURFACE) | med_c1)
                     u_sel = smp.sample_1d(scfg, pid, sid, 60 + 8 * (s + 10 * t))
                     # selection from the POWER distribution — the same
                     # distribution the light subpath uses, so all
@@ -486,9 +595,16 @@ def render(scene, camera, cfg: BDPTConfig, debug_strategies=False):
                     o_sh = vm.offset_ray_origin(cpath.p[:, t - 1], cpath.ng[:, t - 1], ls["wi"])
                     occ = scenemod.occluded(scene, o_sh, ls["wi"],
                                             t_max=jnp.maximum(ls["dist"] * (1 - 1e-3), 1e-4))
+                    cos_c1 = jnp.where(med_c1, 1.0,
+                                       vm.absdot(ls["wi"], cpath.ns[:, t - 1]))
                     contrib = cpath.beta[:, t - 1] * f_c * ls["li"] \
-                        * (vm.absdot(ls["wi"], cpath.ns[:, t - 1])
-                           / jnp.maximum(ls["pdf"] * pmf, 1e-12))[:, None]
+                        * (cos_c1 / jnp.maximum(ls["pdf"] * pmf, 1e-12))[:, None]
+                    if lights_have_media := (scene.media is not None):
+                        tr_s1 = medmod.medium_tr(
+                            scene.media, jnp.zeros(hw, Int),
+                            cpath.p[:, t - 1], ls["wi"], ls["dist"],
+                            hash_combine(pid, sid, jnp.uint32(800 + 8 * t)))
+                        contrib = contrib * tr_s1
                     # MIS: build a temp "sampled" light vertex in lpath slot 0
                     lid = jnp.maximum(lt, 0)
                     cos_l = vm.absdot(ls["wi"], jnp.where(
@@ -499,8 +615,8 @@ def render(scene, camera, cfg: BDPTConfig, debug_strategies=False):
                     qs_rev = convert_density(
                         _vertex_pdf(scene, cpath, t - 1, cpath.p[:, t - 2], ls["p_light"]),
                         cpath.p[:, t - 1], ls["p_light"], _light_normal_towards(ls))
-                    pt_rev_s1 = convert_density(pdf_le_dir, ls["p_light"],
-                                                cpath.p[:, t - 1], cpath.ng[:, t - 1])
+                    pt_rev_s1 = _conv_to_vertex(pdf_le_dir, ls["p_light"],
+                                                cpath, t - 1)
                     if lights.env_index >= 0:
                         # env light: position density is the world disk
                         # (Vertex::PdfLight infinite branch, bdpt.rs)
@@ -508,9 +624,9 @@ def render(scene, camera, cfg: BDPTConfig, debug_strategies=False):
                         pt_rev_env = (1.0 / (PI * scene.world_radius ** 2)) \
                             * vm.absdot(cpath.ng[:, t - 1], ls["wi"])
                         pt_rev_s1 = jnp.where(env_sel, pt_rev_env, pt_rev_s1)
-                    ptm_rev_s1 = convert_density(
+                    ptm_rev_s1 = _conv_to_vertex(
                         _vertex_pdf(scene, cpath, t - 1, ls["p_light"], cpath.p[:, t - 2]),
-                        cpath.p[:, t - 1], cpath.p[:, t - 2], cpath.ng[:, t - 2])
+                        cpath.p[:, t - 1], cpath, t - 2)
                     sampled_l = _sampled_light_path(lpath, lights, ls, lt, pmf)
                     wmis = _mis_weight(scene, cpath, sampled_l, 1, t,
                                        dict(qs_rev=qs_rev, pt_rev=pt_rev_s1,
@@ -522,32 +638,38 @@ def render(scene, camera, cfg: BDPTConfig, debug_strategies=False):
                     # general s>=2 connection: lpath[s-1] ↔ cpath[t-1]
                     ok = cpath.valid[:, t - 1] & lpath.valid[:, s - 1] \
                         & ~cpath.delta[:, t - 1] & ~lpath.delta[:, s - 1] \
-                        & (cpath.vtype[:, t - 1] == VTX_SURFACE)
+                        & ((cpath.vtype[:, t - 1] == VTX_SURFACE)
+                           | (cpath.vtype[:, t - 1] == VTX_MEDIUM))
+                    med_l = lpath.vtype[:, s - 1] == VTX_MEDIUM
+                    med_c = cpath.vtype[:, t - 1] == VTX_MEDIUM
                     g, wn = _g_term(scene, lpath.p[:, s - 1], lpath.ng[:, s - 1],
-                                    cpath.p[:, t - 1], cpath.ng[:, t - 1])
+                                    cpath.p[:, t - 1], cpath.ng[:, t - 1],
+                                    med_a=med_l, med_b=med_c,
+                                    tr_key=hash_combine(pid, sid,
+                                                        jnp.uint32(700 + 8 * (s + 10 * t))))
                     wo_l_side = vm.normalize(lpath.p[:, s - 2] - lpath.p[:, s - 1])
                     wo_c_side = vm.normalize(cpath.p[:, t - 2] - cpath.p[:, t - 1])
                     f_l = _vertex_f(scene, lpath, s - 1, wo_l_side, wn)
                     f_c = _vertex_f(scene, cpath, t - 1, wo_c_side, -wn)
                     contrib = lpath.beta[:, s - 1] * f_l * f_c * cpath.beta[:, t - 1] \
-                        * g[:, None]
+                        * g
                     # endpoint reverse pdfs
-                    qs_rev = convert_density(
+                    qs_rev = _conv_to_vertex(
                         _vertex_pdf(scene, cpath, t - 1, cpath.p[:, t - 2],
                                     lpath.p[:, s - 1]),
-                        cpath.p[:, t - 1], lpath.p[:, s - 1], lpath.ng[:, s - 1])
-                    pt_rev = convert_density(
+                        cpath.p[:, t - 1], lpath, s - 1)
+                    pt_rev = _conv_to_vertex(
                         _vertex_pdf(scene, lpath, s - 1, lpath.p[:, s - 2],
                                     cpath.p[:, t - 1]),
-                        lpath.p[:, s - 1], cpath.p[:, t - 1], cpath.ng[:, t - 1])
-                    qsm_rev = convert_density(
+                        lpath.p[:, s - 1], cpath, t - 1)
+                    qsm_rev = _conv_to_vertex(
                         _vertex_pdf(scene, lpath, s - 1, cpath.p[:, t - 1],
                                     lpath.p[:, s - 2]),
-                        lpath.p[:, s - 1], lpath.p[:, s - 2], lpath.ng[:, s - 2])
-                    ptm_rev = convert_density(
+                        lpath.p[:, s - 1], lpath, s - 2)
+                    ptm_rev = _conv_to_vertex(
                         _vertex_pdf(scene, cpath, t - 1, lpath.p[:, s - 1],
                                     cpath.p[:, t - 2]),
-                        cpath.p[:, t - 1], cpath.p[:, t - 2], cpath.ng[:, t - 2])
+                        cpath.p[:, t - 1], cpath, t - 2)
                     wmis = _mis_weight(scene, cpath, lpath, s, t,
                                        dict(qs_rev=qs_rev, pt_rev=pt_rev,
                                             qsm_rev=qsm_rev, ptm_rev=ptm_rev))
@@ -560,30 +682,38 @@ def render(scene, camera, cfg: BDPTConfig, debug_strategies=False):
             depth = s - 1
             if depth > cfg.max_depth:
                 continue
+            med_l1 = lpath.vtype[:, s - 1] == VTX_MEDIUM
             ok = lpath.valid[:, s - 1] & ~lpath.delta[:, s - 1]
             u_lens2 = smp.sample_2d(scfg, pid, sid, 90 + 4 * s)
             wi_c, we, pdf_c, p_raster, p_lens = camera_sample_wi(
                 camera, lpath.p[:, s - 1], u_lens2)
             wo_l_side = vm.normalize(lpath.p[:, s - 2] - lpath.p[:, s - 1])
             f_l = _vertex_f(scene, lpath, s - 1, wo_l_side, wi_c)
-            # shading-normal correction (light transport)
+            # shading-normal correction (light transport); 1 in media
             ns_corr = vm.absdot(wo_l_side, lpath.ns[:, s - 1]) * vm.absdot(wi_c, lpath.ng[:, s - 1]) / \
                 jnp.maximum(vm.absdot(wo_l_side, lpath.ng[:, s - 1])
                             * vm.absdot(wi_c, lpath.ns[:, s - 1]), 1e-8)
+            ns_corr = jnp.where(med_l1, 1.0, ns_corr)
             o_sh = vm.offset_ray_origin(lpath.p[:, s - 1], lpath.ng[:, s - 1], wi_c)
             dist = vm.length(p_lens - lpath.p[:, s - 1])
             occ = scenemod.occluded(scene, o_sh, wi_c,
                                     t_max=jnp.maximum(dist * (1 - 1e-3), 1e-4))
+            cos_l1 = jnp.where(med_l1, 1.0, vm.absdot(wi_c, lpath.ns[:, s - 1]))
             contrib = lpath.beta[:, s - 1] * f_l \
-                * (we * vm.absdot(wi_c, lpath.ns[:, s - 1]) * ns_corr
+                * (we * cos_l1 * ns_corr
                    / jnp.maximum(pdf_c, 1e-12))[:, None]
+            if scene.media is not None:
+                tr_t1 = medmod.medium_tr(
+                    scene.media, jnp.zeros(hw, Int),
+                    lpath.p[:, s - 1], wi_c, dist,
+                    hash_combine(pid, sid, jnp.uint32(900 + 8 * s)))
+                contrib = contrib * tr_t1
             _, cam_pdf_dir = camera_pdf_we(camera, p_lens, -wi_c)
-            qs_rev = convert_density(
-                jnp.maximum(cam_pdf_dir, 0.0),
-                p_lens, lpath.p[:, s - 1], lpath.ng[:, s - 1])
-            qsm_rev = convert_density(
+            qs_rev = _conv_to_vertex(
+                jnp.maximum(cam_pdf_dir, 0.0), p_lens, lpath, s - 1)
+            qsm_rev = _conv_to_vertex(
                 _vertex_pdf(scene, lpath, s - 1, p_lens, lpath.p[:, s - 2]),
-                lpath.p[:, s - 1], lpath.p[:, s - 2], lpath.ng[:, s - 2])
+                lpath.p[:, s - 1], lpath, s - 2)
             wmis = _mis_weight(scene, cpath, lpath, s, 1,
                                dict(qs_rev=qs_rev, qsm_rev=qsm_rev))
             good = ok & ~occ & (pdf_c > 0) & (luminance(contrib) > 0)

@@ -148,3 +148,44 @@ def test_sppm_grid_overflow_census_is_loud():
     assert st_big["photons_dropped"] == 0
     # dropping photons can only darken the gathered flux
     assert img_tiny.mean() <= img_big.mean() + 1e-6
+
+
+def test_bdpt_media_matches_volpath():
+    """BDPT media vertices (VERDICT r4 #3; random_walk medium branch,
+    bdpt.rs:860-958 + Tr connections :1003-1024): a homogeneous-fog
+    Cornell must match volpath pixel-wise — phase vertices in both
+    subpaths, Tr in every connection, cos-free medium densities."""
+    from scenes.cornell import cornell_spheres, cornell_camera
+    from pbrt_tpu.integrate import driver, volpath, bdpt
+    from pbrt_tpu.core import samplers as smp
+    from pbrt_tpu.api import SceneBuilder
+
+    scene = cornell_spheres()
+    from pbrt_tpu.shade import media as medmod
+    media = medmod.build_media([dict(kind=medmod.MEDIUM_HOMOGENEOUS,
+                                     sigma_a=(0.08, 0.08, 0.08),
+                                     sigma_s=(0.45, 0.45, 0.45), g=0.0)])
+    scene = scene._replace(media=media)
+    cam = cornell_camera((24, 24))
+    cfg = driver.RenderConfig(width=24, height=24, spp=128, max_depth=3,
+                              sampler=smp.SamplerConfig(kind="zerotwo", spp=128))
+    img_v = np.asarray(driver.render(scene, cam, cfg, volpath.make_li(cfg)))
+    bcfg = bdpt.BDPTConfig(width=24, height=24, spp=128, max_depth=3,
+                           sampler=smp.SamplerConfig(kind="random", spp=128))
+    img_b = np.asarray(bdpt.render(scene, cam, bcfg))
+    assert np.isnan(img_b).sum() == 0
+    assert img_b.mean() > 0
+    rel = abs(img_b.mean() - img_v.mean()) / img_v.mean()
+    assert rel < 0.03, (img_b.mean(), img_v.mean(), rel)
+    # BDPT's t=1 splat strategies carry ~30% of the energy in fog and
+    # their noise is heavy-tailed: the raw per-pixel error is variance,
+    # not bias (it halves under 2x2 averaging and the diff is symmetric
+    # around zero) — bound raw loosely, the 2x2-binned image tightly
+    ref = np.maximum(img_v.mean(-1, keepdims=True), 0.05)
+    mare = float((np.abs(img_b - img_v).mean(-1, keepdims=True) / ref).mean())
+    assert mare < 0.28, mare
+    ds = lambda a: a.reshape(12, 2, 12, 2, 3).mean((1, 3))
+    refd = np.maximum(ds(img_v).mean(-1, keepdims=True), 0.05)
+    mare2 = float((np.abs(ds(img_b) - ds(img_v)).mean(-1, keepdims=True)
+                   / refd).mean())
+    assert mare2 < 0.13, mare2
