@@ -29,7 +29,9 @@ def main():
     from pbrt_tpu.dist.sharding import _render_lanes
 
     res = int(os.environ.get("BENCH_RES", 512))
-    spp_batch = int(os.environ.get("BENCH_SPP_BATCH", 1))
+    # 2 spp per dispatch amortises the per-dispatch host/tunnel overhead
+    # (~40 ms through the axon tunnel) over twice the rays
+    spp_batch = int(os.environ.get("BENCH_SPP_BATCH", 2))
     n_iters = int(os.environ.get("BENCH_ITERS", 3))
     depth = 5
 

@@ -91,7 +91,7 @@ class ClusterSet(NamedTuple):
     c_tri_id: jnp.ndarray  # (C, K) int32 original triangle id (pad 0)
     c_bmin: jnp.ndarray    # (C, 3)
     c_bmax: jnp.ndarray    # (C, 3)
-    cov_mxu: jnp.ndarray   # (6, 6·CPAD) slab-plane features, CPAD %128
+    cov_mxu: jnp.ndarray   # (6, 6, CPAD) slab-plane features, CPAD %128
     world_min: jnp.ndarray
     world_max: jnp.ndarray
 
@@ -244,7 +244,7 @@ def build_clusters(positions, indices, prim_order=None, k=128):
         c_p0=jnp.asarray(p0f), c_p1=jnp.asarray(p1f), c_p2=jnp.asarray(p2f),
         c_tri_id=jnp.asarray(tri_id),
         c_bmin=jnp.asarray(bmin), c_bmax=jnp.asarray(bmax),
-        cov_mxu=jnp.asarray(cov.reshape(6, 6 * cpad)),
+        cov_mxu=jnp.asarray(cov),        # (6 planes, 6 features, CPAD)
         world_min=jnp.asarray(bmin.min(0)), world_max=jnp.asarray(bmax.max(0)))
 
 
@@ -543,6 +543,7 @@ def _pallas_inputs(cs, comp, os_, ds_, interpret=False):
     assemble the L feature matrix incl. the Plücker moment in-register)
     + the pallas coverage pass + the per-tile entry-t cluster order."""
     from ..kernels import cluster_pallas as kp
+    CH_ = kp.CH
     c = cs.n_clusters
     planes = tuple(comp[f][:, None, :] for f in
                    ("ox", "oy", "oz", "dx", "dy", "dz", "tmin", "tmax"))
@@ -560,6 +561,20 @@ def _pallas_inputs(cs, comp, os_, ds_, interpret=False):
     # kernel's last partial round still DMAs them, so point them at a
     # real cluster (redundant exact tests are harmless).
     corder = jnp.minimum(corder, c - 1)
+    # traversal-side cluster-list cap: corder/tnear ride per-grid-step
+    # SMEM blocks in the kernels, which overflow scalar memory on
+    # 10k+-cluster scenes at full CPAD width. Entries are sorted by
+    # entry t, so truncation drops only the FARTHEST clusters of tiles
+    # whose coverage exceeds the cap — far above any measured per-tile
+    # coverage (max 635 at 81k tris / TILE=512; the 1.3M-tri scene
+    # measures ~2k max). Raise PBRT_TPU_TRAV_CPAD if profile_scaling
+    # ever reports max coverage near the cap.
+    tcap = int(os.environ.get("PBRT_TPU_TRAV_CPAD", 4096))
+    tcap = -(-tcap // CH_) * CH_
+    if tcap < corder.shape[1]:
+        corder = corder[:, :tcap]
+        tnear_sorted = tnear_sorted[:, :tcap]
+        counts = jnp.minimum(counts, tcap)
     cmax = int(os.environ.get("PBRT_TPU_CMAX", 0))
     if cmax and cmax < corder.shape[1]:
         # timing probe / coverage cap: only the nearest cmax clusters
@@ -600,13 +615,15 @@ def intersect_pallas(cs: ClusterSet, o, d, t_min, t_max, interpret=False):
     hit = gslot >= 0
     tid = cs.c_tri_id.reshape(-1)[jnp.maximum(gslot, 0)]
 
-    # one packed unsort gather: [t, b1, b2, tid, hit] per sorted lane
+    # one packed unsort SCATTER: row j of the sorted results belongs to
+    # original lane order[j] — a direct .at[order].set is one permuted
+    # store instead of argsort(order) + gather (the second full sort)
     packed = jnp.stack([
         t_best.reshape(-1), bary[:, 0, :].reshape(-1),
         bary[:, 1, :].reshape(-1), tid.reshape(-1).astype(Float),
         hit.reshape(-1).astype(Float)], axis=-1)
-    inv = jnp.argsort(order)
-    out = packed[inv]
+    out = jnp.zeros((n, 5), Float).at[order].set(packed[:n],
+                                                 unique_indices=True)
     ok = out[:, 4] > 0.5
     t_fin = jnp.where(ok, out[:, 0], INF)
     return (ok.reshape(shp), t_fin.reshape(shp),
@@ -654,8 +671,9 @@ def intersect_occluded_pallas(cs: ClusterSet, o, d, t_min, t_max,
         t_best.reshape(-1), bary[:, 0, :].reshape(-1),
         bary[:, 1, :].reshape(-1), tid.reshape(-1).astype(Float),
         hit.reshape(-1).astype(Float)], axis=-1)
-    inv = jnp.argsort(order)
-    out = packed[inv]
+    ntot = n + n_sh
+    out = jnp.zeros((ntot, 5), Float).at[order].set(packed[:ntot],
+                                                    unique_indices=True)
     oute = out[:n]
     ok = oute[:, 4] > 0.5
     t_fin = jnp.where(ok, oute[:, 0], INF)
@@ -675,5 +693,6 @@ def occluded_pallas(cs: ClusterSet, o, d, t_min, t_max, interpret=False):
         cs, comp, os_, ds_, interpret=interpret)
     occ = kp.occluded_tiles(cs.packed_mxu, planes, corder_p, tnear_p, counts,
                             covbits=covbits, interpret=interpret)
-    inv = jnp.argsort(order)
-    return occ.reshape(-1)[inv].reshape(shp)
+    out = jnp.zeros((n,), bool).at[order].set(occ.reshape(-1)[:n],
+                                              unique_indices=True)
+    return out.reshape(shp)

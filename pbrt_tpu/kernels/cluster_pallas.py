@@ -72,6 +72,9 @@ TPB = int(os.environ.get("PBRT_TPU_TPB", 8))  # ray tiles per grid step —
 # profile_overhead.py), so each program processes TPB tiles sequentially
 SLOT_MASK = 2047
 _EPS = 1e-12
+# clusters per coverage grid step (VMEM bound: the kernel materialises
+# (COV_CBLK, TILE) intermediates)
+COV_CBLK = int(os.environ.get("PBRT_TPU_COV_CBLK", 768))
 
 # Lane compaction (round 5): tile-union coverage tests ~30x more
 # (ray, cluster) pairs than rays individually need (profile_coverage.py),
@@ -239,8 +242,8 @@ def _assemble_L(plane_refs, tt=0):
                             tmin, tmax, z, z], axis=0), tmin, tmax
 
 
-def _make_coverage_kernel(tile, cpad):
-    nb32 = cpad // 32
+def _make_coverage_kernel(tile, cblk):
+    nb32 = cblk // 32
 
     def kernel(*refs):
         nlive_ref, plane_refs = refs[0], refs[1:9]
@@ -251,22 +254,24 @@ def _make_coverage_kernel(tile, cpad):
             @pl.when(base + tt < nlive_ref[0, 0, 0])
             def _():
                 # the slab test as a K=6 matmul —
-                # t_plane = b·inv_ax + 1·(−o_ax·inv_ax).
+                # t_plane = b·inv_ax + 1·(−o_ax·inv_ax). The cluster
+                # axis is BLOCKED (grid dim 1, cblk clusters per step)
+                # so big scenes never materialise (CPAD, TILE) in VMEM.
                 o3, d3, tmin, tmax = _ray_rows(plane_refs, tt)
                 inv = 1.0 / jnp.where(jnp.abs(d3) < 1e-12,
                                       jnp.where(d3 < 0, -1e-12, 1e-12), d3)
                 L_cov = jnp.concatenate([inv, -o3 * inv], axis=0)   # (6, TILE)
-                W = _dot(cov_ref[...], L_cov)                   # (6·cpad, TILE)
-                tn = jnp.broadcast_to(tmin, (cpad, tile))
-                tf = jnp.broadcast_to(tmax, (cpad, tile))
+                W = _dot(cov_ref[...].reshape(6, 6 * cblk), L_cov)
+                tn = jnp.broadcast_to(tmin, (cblk, tile))
+                tf = jnp.broadcast_to(tmax, (cblk, tile))
                 for ax in range(3):
-                    lo = W[(2 * ax) * cpad:(2 * ax + 1) * cpad, :]
-                    hi = W[(2 * ax + 1) * cpad:(2 * ax + 2) * cpad, :]
+                    lo = W[(2 * ax) * cblk:(2 * ax + 1) * cblk, :]
+                    hi = W[(2 * ax + 1) * cblk:(2 * ax + 2) * cblk, :]
                     tn = jnp.maximum(tn, jnp.minimum(lo, hi))
                     tf = jnp.minimum(tf, jnp.maximum(lo, hi) * 1.0001)
-                hit = tn <= tf                                  # (cpad, TILE)
+                hit = tn <= tf                                  # (cblk, TILE)
                 tnear = jnp.min(jnp.where(hit, tn, INF), axis=1, keepdims=True)
-                tnear_out[tt, :, :] = tnear.reshape(1, cpad)
+                tnear_out[tt, :, :] = tnear.reshape(1, cblk)
                 # per-LANE coverage bitmask, packed over cluster ids
                 # (bit c%32 of row c//32): drives the traversal kernel's
                 # per-round lane compaction.
@@ -279,7 +284,7 @@ def _make_coverage_kernel(tile, cpad):
             @pl.when(base + tt >= nlive_ref[0, 0, 0])
             def _():
                 # dead tile (dead lanes sort to the suffix): no coverage
-                tnear_out[tt, :, :] = jnp.full((1, cpad), INF, jnp.float32)
+                tnear_out[tt, :, :] = jnp.full((1, cblk), INF, jnp.float32)
                 covbits_out[tt, :, :] = jnp.zeros((nb32, tile), jnp.int32)
 
     return kernel
@@ -296,39 +301,48 @@ def _pad_tiles(nt):
 
 def coverage_tiles(planes, cov_mxu, n_clusters, n_live_tiles=None,
                    interpret=False):
-    """Per-tile cluster coverage + entry t via one K=6 MXU pass per tile
-    against VMEM-resident bounds features — replaces the XLA
-    (nt·TILE·C) slab pass, which materialises hundreds of MB of HBM
-    intermediates at wavefront sizes. Each grid step covers TPB tiles
-    (per-step overhead amortisation); tiles past `n_live_tiles` (dead
-    lanes sort to the suffix) skip the matmul and write INF.
+    """Per-tile cluster coverage + entry t via one K=6 MXU pass per
+    (tile, cluster-block) against VMEM-resident bounds features —
+    replaces the XLA (nt·TILE·C) slab pass, which materialises hundreds
+    of MB of HBM intermediates at wavefront sizes. Each grid step covers
+    TPB tiles × COV_CBLK clusters (cluster blocking keeps VMEM bounded
+    for 10k+-cluster scenes); tiles past `n_live_tiles` (dead lanes sort
+    to the suffix) skip the matmul and write INF.
 
     planes: 8×(nt, 1, TILE) f32 with nt % TPB == 0; cov_mxu
-    (6, 6·CPAD) f32; returns (tnear (nt, CPAD) f32 with INF where the
+    (6, 6, CPAD) f32; returns (tnear (nt, CPAD) f32 with INF where the
     tile does not enter the cluster (pad columns forced to INF),
     covbits (nt, CPAD/32, TILE) i32 per-lane coverage bitmasks)."""
     nt, _, tile = planes[0].shape
     assert nt % TPB == 0
-    cpad = cov_mxu.shape[1] // 6
-    nb32 = cpad // 32
+    cpad = cov_mxu.shape[2]
+    # largest 128-multiple block <= COV_CBLK that divides cpad (cpad is
+    # always a 128 multiple, so 128 is a guaranteed fallback)
+    cblk = 128
+    for b in range(min(cpad, COV_CBLK), 127, -128):
+        if cpad % b == 0:
+            cblk = b
+            break
+    nb32 = cblk // 32
     if n_live_tiles is None:
         n_live_tiles = jnp.full((), nt, jnp.int32)
     tnear, covbits = pl.pallas_call(
-        _make_coverage_kernel(tile, cpad),
-        grid=(nt // TPB,),
+        _make_coverage_kernel(tile, cblk),
+        grid=(nt // TPB, cpad // cblk),
         in_specs=[
-            pl.BlockSpec((1, 1, 1), lambda i: (0, 0, 0),
+            pl.BlockSpec((1, 1, 1), lambda i, j: (0, 0, 0),
                          memory_space=pltpu.SMEM),
-        ] + _plane_specs(tile) + [
-            pl.BlockSpec((6, 6 * cpad), lambda i: (0, 0),
+        ] + [pl.BlockSpec((TPB, 1, tile), lambda i, j: (i, 0, 0),
+                          memory_space=pltpu.VMEM)] * 8 + [
+            pl.BlockSpec((6, 6, cblk), lambda i, j: (0, 0, j),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[pl.BlockSpec((TPB, 1, cpad), lambda i: (i, 0, 0),
+        out_specs=[pl.BlockSpec((TPB, 1, cblk), lambda i, j: (i, 0, j),
                                 memory_space=pltpu.VMEM),
-                   pl.BlockSpec((TPB, nb32, tile), lambda i: (i, 0, 0),
+                   pl.BlockSpec((TPB, nb32, tile), lambda i, j: (i, j, 0),
                                 memory_space=pltpu.VMEM)],
         out_shape=[jax.ShapeDtypeStruct((nt, 1, cpad), jnp.float32),
-                   jax.ShapeDtypeStruct((nt, nb32, tile), jnp.int32)],
+                   jax.ShapeDtypeStruct((nt, cpad // 32, tile), jnp.int32)],
         interpret=interpret,
     )(n_live_tiles.astype(jnp.int32).reshape(1, 1, 1), *planes, cov_mxu)
     tnear = tnear[:, 0, :]

@@ -86,7 +86,7 @@ def main():
 
         def s_cov(cs_, o_, d_, tmx):
             _, _, _, comp, os_, ds_, _ = clmod._prepare(cs_, o_, d_, t_min, tmx)
-            return clmod._pallas_inputs(cs_, comp, os_, ds_)[3]
+            return clmod._pallas_inputs(cs_, comp, os_, ds_)[3]  # counts
 
         dt_cov, counts = timeit(jax.jit(s_cov), cs, p_hit, db, tmx_b)
         cnp = np.asarray(counts)

@@ -115,7 +115,7 @@ def main():
 
     def s_cov(o, d, tmx):
         shp, n, order, comp, os_, ds_, nt = clmod._prepare(cs, o, d, t_min, tmx)
-        planes, corder, tnear_sorted, counts = clmod._pallas_inputs(cs, comp, os_, ds_)
+        planes, corder, tnear_sorted, counts, covbits = clmod._pallas_inputs(cs, comp, os_, ds_)
         return counts
     dt, counts = timeit(jax.jit(s_cov), p_hit, db, tmx_b)
     print(f"  prepare+coverage+corder:      {dt*1e3:8.2f} ms")
@@ -125,9 +125,10 @@ def main():
     def s_kernel(o, d, tmx):
         from pbrt_tpu.kernels import cluster_pallas as kp
         shp, n, order, comp, os_, ds_, nt = clmod._prepare(cs, o, d, t_min, tmx)
-        planes, corder, tnear_sorted, counts = clmod._pallas_inputs(cs, comp, os_, ds_)
+        planes, corder, tnear_sorted, counts, covbits = clmod._pallas_inputs(cs, comp, os_, ds_)
         t_best, slot, bary = kp.traverse_tiles(cs.packed_mxu, planes, corder,
-                                               tnear_sorted, counts)
+                                               tnear_sorted, counts,
+                                               covbits=covbits)
         return t_best
     dt, _ = timeit(jax.jit(s_kernel), p_hit, db, tmx_b)
     print(f"  prepare+coverage+kernel:      {dt*1e3:8.2f} ms")
