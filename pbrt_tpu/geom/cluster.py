@@ -615,15 +615,16 @@ def intersect_pallas(cs: ClusterSet, o, d, t_min, t_max, interpret=False):
     hit = gslot >= 0
     tid = cs.c_tri_id.reshape(-1)[jnp.maximum(gslot, 0)]
 
-    # one packed unsort SCATTER: row j of the sorted results belongs to
-    # original lane order[j] — a direct .at[order].set is one permuted
-    # store instead of argsort(order) + gather (the second full sort)
+    # one packed unsort gather: [t, b1, b2, tid, hit] per sorted lane.
+    # (A direct .at[order].set scatter was tried and LOSES ~4 ms/launch
+    # at fused 524k-lane widths on v5e — XLA's scatter lowering beats
+    # argsort+gather only below ~300k rows.)
     packed = jnp.stack([
         t_best.reshape(-1), bary[:, 0, :].reshape(-1),
         bary[:, 1, :].reshape(-1), tid.reshape(-1).astype(Float),
         hit.reshape(-1).astype(Float)], axis=-1)
-    out = jnp.zeros((n, 5), Float).at[order].set(packed[:n],
-                                                 unique_indices=True)
+    inv = jnp.argsort(order)
+    out = packed[inv]
     ok = out[:, 4] > 0.5
     t_fin = jnp.where(ok, out[:, 0], INF)
     return (ok.reshape(shp), t_fin.reshape(shp),
@@ -671,9 +672,8 @@ def intersect_occluded_pallas(cs: ClusterSet, o, d, t_min, t_max,
         t_best.reshape(-1), bary[:, 0, :].reshape(-1),
         bary[:, 1, :].reshape(-1), tid.reshape(-1).astype(Float),
         hit.reshape(-1).astype(Float)], axis=-1)
-    ntot = n + n_sh
-    out = jnp.zeros((ntot, 5), Float).at[order].set(packed[:ntot],
-                                                    unique_indices=True)
+    inv = jnp.argsort(order)
+    out = packed[inv]
     oute = out[:n]
     ok = oute[:, 4] > 0.5
     t_fin = jnp.where(ok, oute[:, 0], INF)
@@ -693,6 +693,5 @@ def occluded_pallas(cs: ClusterSet, o, d, t_min, t_max, interpret=False):
         cs, comp, os_, ds_, interpret=interpret)
     occ = kp.occluded_tiles(cs.packed_mxu, planes, corder_p, tnear_p, counts,
                             covbits=covbits, interpret=interpret)
-    out = jnp.zeros((n,), bool).at[order].set(occ.reshape(-1)[:n],
-                                              unique_indices=True)
-    return out.reshape(shp)
+    inv = jnp.argsort(order)
+    return occ.reshape(-1)[inv].reshape(shp)
