@@ -3,6 +3,10 @@ multi-chip sharding tests run anywhere (SURVEY.md §4.4). Must run before
 jax is imported anywhere in the test process."""
 import os
 
+# keep the CPU-backend test tier fast: the TPU-tuned default TILE=512
+# doubles every interpret-mode / jnp-tracer array; the code paths under
+# test are identical at 256 (the kernels are parametric in TILE)
+os.environ.setdefault("PBRT_TPU_TILE", "256")
 os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
