@@ -34,6 +34,13 @@ class RenderConfig(NamedTuple):
     filter: filtmod.Filter = filtmod.Filter()
     samples_per_batch: int = 0   # 0 → all spp in one launch
     light_strategy: str = "uniform"  # uniform | power | spatial
+    # anisotropic texture filtering: 1 = ONE stochastic major-axis tap
+    # per sample (expectation = ellipse filter; right at real spp), >1 =
+    # DETERMINISTIC midpoint taps averaged per lookup (EWA-style; for
+    # 1-4 spp previews where the stochastic tap is noise, mipmap.rs
+    # :297-345 capability at reduced tap count). Taps multiply the
+    # texture-gather cost.
+    aniso_taps: int = 1
 
 
 def render_batch(scene, camera, cfg: RenderConfig, li_fn, sample_lo, sample_hi):

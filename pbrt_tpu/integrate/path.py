@@ -268,11 +268,30 @@ def li(scene, o, d, pixel_id, sample_idx, cfg, rr_start=3, return_stats=False,
         # dimension — indexing past their vector silently clamps to the
         # last (mutated) column and correlates the jitter with a path
         # dimension. Center tap (u_j = 0) there instead (advisor r4).
-        u_j = (flat(sample1(bounce, DIM_TEXLOD)) - 0.5) if provider is None \
-            else jnp.zeros((n,), Float)
-        uv_eval = hit.uv + uv_dir * (fp_uv * (aniso - 1.0) * u_j)[..., None]
-        lp = matmod.resolve(scene.materials, hit.material_id, uv_eval, hit.p,
-                            scene.textures, fp=fp_uv)
+        taps = int(getattr(cfg, "aniso_taps", 1) or 1)
+        if taps > 1:
+            # deterministic EWA-style midpoint taps (VERDICT r4 missing
+            # #3): filters per LOOKUP instead of in expectation over spp
+            # — for low-spp previews; averages the resolved float params
+            import dataclasses as _dc
+            lps = []
+            for k_t in range(taps):
+                off = (k_t + 0.5) / taps - 0.5
+                uv_k = hit.uv + uv_dir * (fp_uv * (aniso - 1.0) * off)[..., None]
+                lps.append(matmod.resolve(scene.materials, hit.material_id,
+                                          uv_k, hit.p, scene.textures,
+                                          fp=fp_uv))
+            avg = {f.name: (getattr(lps[0], f.name)
+                            if f.name in ("kind", "rough_is_zero", "fourier")
+                            else sum(getattr(l, f.name) for l in lps) / taps)
+                   for f in _dc.fields(lps[0])}
+            lp = matmod.LaneParams(**avg)
+        else:
+            u_j = (flat(sample1(bounce, DIM_TEXLOD)) - 0.5) if provider is None \
+                else jnp.zeros((n,), Float)
+            uv_eval = hit.uv + uv_dir * (fp_uv * (aniso - 1.0) * u_j)[..., None]
+            lp = matmod.resolve(scene.materials, hit.material_id, uv_eval, hit.p,
+                                scene.textures, fp=fp_uv)
 
         # --- NEE light half (path.rs:100-126 → integrator.rs:155-195).
         # The shadow trace is DEFERRED: the candidate contribution and
