@@ -531,11 +531,11 @@ def _make_closest_kernel_lc(tile, k, approx=True):
             _start_round(corder_ref, tt, packed_ref, scratch, sems, 0, 0)
 
             def cond(carry):
-                r, b, t_best, best_slot, tb12, done = carry
+                r, b, t_best, best_slot, tb12, mask_carry, done = carry
                 return (r < n_rounds) & ~done
 
             def body(carry):
-                r, b, t_best, best_slot, tb12, done = carry
+                r, b, t_best, best_slot, tb12, mask_carry, done = carry
                 cur = r % 2
 
                 @pl.when(b == 0)
@@ -552,7 +552,13 @@ def _make_closest_kernel_lc(tile, k, approx=True):
                 # tile entry t could still beat the lane's best hit.
                 # Any-hit lanes that found a hit carry t_best = -1 <
                 # every entry t — they drop out of all later masks.
-                mask = jnp.zeros((1, tile), jnp.bool_)
+                # FROZEN at b == 0 for the whole round: a shadow lane
+                # occluded in an earlier block would otherwise renumber
+                # the ranks and skip lanes whose rank slides below the
+                # block window. (Extension lanes cannot drop mid-round —
+                # a new hit's t is >= the round's sorted entry t — so
+                # the freeze only matters for any-hit lanes.)
+                fresh = jnp.zeros((1, tile), jnp.bool_)
                 cids = []
                 for j in range(CH):
                     cid = corder_ref[tt, 0, r * CH + j]
@@ -560,7 +566,10 @@ def _make_closest_kernel_lc(tile, k, approx=True):
                     row = cb_ref[tt, pl.ds(cid // 32, 1), :]   # (1, TILE)
                     bitj = ((row >> (cid % 32)) & 1) != 0
                     tn_j = tnear_ref[tt, 0, r * CH + j]
-                    mask = mask | (bitj & (t_best >= tn_j))
+                    fresh = fresh | (bitj & (t_best >= tn_j))
+                # (select in i32 — Mosaic cannot legalize i1 selects)
+                mask_i = jnp.where(b == 0, fresh.astype(jnp.int32), mask_carry)
+                mask = mask_i != 0
                 maskf = mask.astype(jnp.float32)
                 # rank = #masked lanes before j; 0/1 products are exact
                 # in bf16 and the f32 accumulator sums them exactly
@@ -636,14 +645,16 @@ def _make_closest_kernel_lc(tile, k, approx=True):
                 b_next = jnp.where(more, b + 1, 0)
                 nxt = jnp.minimum(jnp.maximum(r_next * CH, 0), cpad - 1)
                 done = ~more & (tnear_ref[tt, 0, nxt] >= jnp.max(t_best))
-                return r_next, b_next, t_best, best_slot, tb12, done
+                return (r_next, b_next, t_best, best_slot, tb12,
+                        mask_i, done)
 
             init = (jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32), tmax,
                     jnp.full((1, tile), -1, jnp.int32),
                     jnp.concatenate([tmax, jnp.zeros((2, tile), jnp.float32)],
                                     axis=0),
+                    jnp.zeros((1, tile), jnp.int32),
                     jnp.zeros((), jnp.bool_))
-            r_end, _, t_best, best_slot, tb12, _ = jax.lax.while_loop(
+            r_end, _, t_best, best_slot, tb12, _, _ = jax.lax.while_loop(
                 cond, body, init)
 
             # drain: an early exit leaves round r_end's DMA in flight
@@ -669,6 +680,110 @@ def _make_closest_kernel_lc(tile, k, approx=True):
                 live_tile(tt, count, n_rounds)
 
     return kernel
+
+def _make_anyhit_kernel_lc(tile, k, approx=True):
+    """Lane-compacted any-hit kernel (same flat (round, block) while
+    shape as _make_closest_kernel_lc): per round only lanes that cover
+    one of the round's clusters AND are not yet occluded are packed
+    into LC_NB-column blocks. Shadow wavefronts stream 128 columns per
+    round instead of TILE."""
+    chk = CH * k
+
+    def kernel(*refs):
+        counts_ref, corder_ref, tnear_ref = refs[:3]
+        plane_refs, cb_ref, packed_ref = refs[3:11], refs[11], refs[12]
+        occ_out, scratch, sems = refs[13:]
+        i0 = jax.lax.broadcasted_iota(jnp.int32, (tile, tile), 0)
+        i1 = jax.lax.broadcasted_iota(jnp.int32, (tile, tile), 1)
+        UT = (i0 < i1).astype(jnp.float32)
+        blk_iota = jax.lax.broadcasted_iota(jnp.int32, (LC_NB, tile), 0)
+
+        def live_tile(tt, count, n_rounds):
+            L_T, tmin, tmax = _assemble_L(plane_refs, tt)
+            live = tmax > tmin
+            _start_round(corder_ref, tt, packed_ref, scratch, sems, 0, 0)
+
+            def cond(carry):
+                r, b, occ, mask_carry, done = carry
+                return (r < n_rounds) & ~done
+
+            def body(carry):
+                r, b, occ, mask_carry, done = carry
+                cur = r % 2
+
+                @pl.when(b == 0)
+                def _():
+                    @pl.when(r + 1 < n_rounds)
+                    def _():
+                        _start_round(corder_ref, tt, packed_ref, scratch,
+                                     sems, r + 1, 1 - cur)
+                    _wait_round(packed_ref, scratch, sems, cur)
+
+                # mask: covers one of this round's clusters, still live,
+                # not yet occluded. FROZEN at b == 0 for the whole round:
+                # recomputing it per block would let lanes occluded in an
+                # earlier block renumber the ranks, skipping lanes whose
+                # rank slides below the block window (measured 10% missed
+                # occlusions before the freeze).
+                fresh = jnp.zeros((1, tile), jnp.bool_)
+                for j in range(CH):
+                    cid = corder_ref[tt, 0, r * CH + j]
+                    row = cb_ref[tt, pl.ds(cid // 32, 1), :]
+                    fresh = fresh | (((row >> (cid % 32)) & 1) != 0)
+                fresh = fresh & live & (occ == 0)
+                # (select in i32 — Mosaic cannot legalize i1 selects)
+                mask_i = jnp.where(b == 0, fresh.astype(jnp.int32), mask_carry)
+                mask = mask_i != 0
+                maskf = mask.astype(jnp.float32)
+                rank_i = jax.lax.dot_general(
+                    maskf, UT, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32).astype(jnp.int32)
+                ltot = jnp.sum(maskf).astype(jnp.int32)
+
+                sel = (blk_iota == (rank_i - LC_NB * b)) & mask
+                Q = sel.astype(jnp.float32)
+                aux = jnp.concatenate([L_T, tmin, tmax], axis=0)
+                aux_c = _sel_dot(aux, Q, transpose_q=True)    # (18, NB)
+                Lc = aux_c[0:16]
+                tmin_c = aux_c[16:17]
+                tmax_c = aux_c[17:18]
+                w0, w1, w2, nd, tnum = _round_planes(Lc, scratch[cur], k)
+                t = tnum * _recip(nd, approx)
+                ok = _hit_mask(w0, w1, w2, nd) & (t > tmin_c) & (t < tmax_c)
+                occ_c = jnp.any(ok, axis=0, keepdims=True).astype(jnp.float32)
+                exp = _sel_dot(occ_c, Q, transpose_q=False)   # (1, tile)
+                occ = occ | (exp > 0.5).astype(jnp.int32)
+
+                more = (b + 1) * LC_NB < ltot
+                r_next = jnp.where(more, r, r + 1)
+                b_next = jnp.where(more, b + 1, 0)
+                done = ~more & jnp.all((occ != 0) | ~live)
+                return r_next, b_next, occ, mask_i, done
+
+            init = (jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
+                    jnp.zeros((1, tile), jnp.int32),
+                    jnp.zeros((1, tile), jnp.int32), jnp.zeros((), jnp.bool_))
+            r_end, _, occ, _, _ = jax.lax.while_loop(cond, body, init)
+
+            @pl.when(r_end < n_rounds)
+            def _():
+                _wait_round(packed_ref, scratch, sems, r_end % 2)
+            occ_out[tt, :, :] = occ
+
+        for tt in range(TPB):
+            count = counts_ref[tt, 0, 0]
+            n_rounds = (count + CH - 1) // CH
+
+            @pl.when(n_rounds == 0)
+            def _():
+                occ_out[tt, :, :] = jnp.zeros((1, tile), jnp.int32)
+
+            @pl.when(n_rounds > 0)
+            def _():
+                live_tile(tt, count, n_rounds)
+
+    return kernel
+
 
 def _make_anyhit_kernel(tile, k, approx=True):
     def kernel(*refs):
@@ -806,17 +921,25 @@ def traverse_tiles(packed_mxu, planes, corder, tnear, counts, anyhit=None,
 def occluded_tiles(packed_mxu, planes, corder, tnear, counts, covbits=None,
                    interpret=False):
     """Any hit (shadow rays). Same layout contract as traverse_tiles →
-    occ (nt, TILE) bool. (covbits accepted for API symmetry; the
-    standalone any-hit kernel terminates on first hit per tile and is
-    off the bench hot path — the fused closest+any-hit launch is the
-    lane-compacted one.)"""
+    occ (nt, TILE) bool. With covbits (and LC on), shadow wavefronts run
+    the lane-compacted kernel — the standalone any-hit path feeds
+    volpath's medium NEE, BDPT connections, SPPM visibility."""
     nt, _, tile = planes[0].shape
     c, nf, nb, k = packed_mxu.shape
     assert nt % TPB == 0
     cpad = corder.shape[1]
-    in_specs, out_specs = _common_specs(nt, tile, cpad, (1,))
+    use_lc = LC and covbits is not None
+    if use_lc:
+        nb32 = covbits.shape[1]
+        kern = _make_anyhit_kernel_lc(tile, k, approx=not interpret)
+        extra = (covbits,)
+    else:
+        nb32 = 0
+        kern = _make_anyhit_kernel(tile, k, approx=not interpret)
+        extra = ()
+    in_specs, out_specs = _common_specs(nt, tile, cpad, (1,), nb32=nb32)
     occ = pl.pallas_call(
-        _make_anyhit_kernel(tile, k, approx=not interpret),
+        kern,
         grid=(nt // TPB,), in_specs=in_specs, out_specs=out_specs,
         out_shape=[jax.ShapeDtypeStruct((nt, 1, tile), jnp.int32)],
         scratch_shapes=[
@@ -825,5 +948,5 @@ def occluded_tiles(packed_mxu, planes, corder, tnear, counts, covbits=None,
         ],
         interpret=interpret,
     )(counts[:, None, None].astype(jnp.int32), corder[:, None, :],
-      tnear[:, None, :], *planes, packed_mxu)[0]
+      tnear[:, None, :], *planes, *extra, packed_mxu)[0]
     return occ[:, 0, :] != 0

@@ -111,3 +111,32 @@ def test_pallas_kernel_interpret_matches_brute():
     # the kernel's Plücker-volume barycentrics must match Möller–Trumbore
     np.testing.assert_allclose(np.asarray(bb1)[m], np.asarray(pb1)[m], atol=2e-3)
     np.testing.assert_allclose(np.asarray(bb2)[m], np.asarray(pb2)[m], atol=2e-3)
+
+
+def test_pallas_anyhit_multiblock_mask_freeze():
+    """Regression (r5): in multi-block lane-compacted rounds, lanes
+    occluded in an earlier block must NOT renumber the round's ranks —
+    the per-round mask is frozen at block 0. Trigger: one coherent
+    beam wider than LC_NB (>=129 lanes covering the same clusters) with
+    finite shadow windows so early occlusions happen; the pre-fix
+    kernel missed ~10% of occlusions here."""
+    from pbrt_tpu.kernels import cluster_pallas as kp
+    verts, idx = _random_soup(900, seed=11)
+    tri = _tri_soa(verts, idx)
+    cs = clmod.build_clusters(verts, idx)
+    n = 512                    # two tiles at the test TILE=256
+    r = np.random.RandomState(4)
+    # parallel beam through the soup: same octant + tight origin cell →
+    # one tile, every lane covering the same cluster list
+    o = jnp.asarray(np.stack([np.full(n, -5.0),
+                              r.rand(n) * 10.0, r.rand(n) * 10.0], 1),
+                    jnp.float32)
+    d = jnp.asarray(np.tile([[1.0, 0.0, 0.0]], (n, 1))
+                    + r.randn(n, 3) * 0.02, jnp.float32)
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    t_min = jnp.zeros(n)
+    t_max = jnp.asarray(5.0 + r.rand(n) * 12.0, jnp.float32)
+    occ_ref = np.asarray(trimod.occluded_brute(tri, o, d, t_min, t_max))
+    occ = np.asarray(clmod.occluded_pallas(cs, o, d, t_min, t_max,
+                                           interpret=True))
+    np.testing.assert_array_equal(occ, occ_ref)
