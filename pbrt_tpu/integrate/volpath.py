@@ -72,8 +72,12 @@ def li(scene, o, d, pixel_id, sample_idx, cfg, rr_start=3):
     # (camera medium; per-primitive interfaces switch this on transmit)
     cur_med = jnp.full(n, 0 if media is not None else -1, jnp.int32)
 
+    # primary closest hit; per bounce, BOTH NEE shadow wavefronts
+    # (medium + surface) are DEFERRED and traced together with the next
+    # bounce's extension rays in ONE fused launch (the path.py pattern;
+    # 3 traversal launches per bounce collapse into 1)
+    hit = scenemod.intersect(scene, o, d, active=active)
     for bounce in range(cfg.max_depth):
-        hit = scenemod.intersect(scene, o, d, active=active)
         wo = -d
         seg_dist = jnp.where(hit.valid, hit.t, 2.0 * scene.world_radius)
 
@@ -102,10 +106,6 @@ def li(scene, o, d, pixel_id, sample_idx, cfg, rr_start=3):
         ls_m = lightsmod.sample_li(lights, scene, lt_m, p_med, u_mlight,
                                    scene.world_radius)
         ph_l = medmod.hg_phase(vm.dot(wo, ls_m["wi"]), g)
-        occ_m = scenemod.occluded(
-            scene, p_med, ls_m["wi"],
-            t_max=jnp.maximum(ls_m["dist"] * (1 - 1e-3), 1e-4),
-            active=m_sampled)
         key_tr = hash_combine(pixel_id, sample_idx, jnp.uint32(91 + bounce))
         tr_m = medmod.medium_tr(media, cur_med, p_med, ls_m["wi"], ls_m["dist"],
                                 key_tr)
@@ -115,8 +115,11 @@ def li(scene, o, d, pixel_id, sample_idx, cfg, rr_start=3):
                          power_heuristic(1.0, ls_m["pdf"], 1.0, ph_l))
         ld_med = ls_m["li"] * tr_m * (ph_l * w_lm / jnp.maximum(ls_m["pdf"], 1e-12))[..., None] \
             / jnp.maximum(pmf_m, 1e-12)[..., None]
-        vis_m = m_sampled & ~occ_m & (ls_m["pdf"] > 0)
-        L = L + jnp.where(vis_m[..., None], beta * ld_med, 0.0)
+        usable_m = m_sampled & (ls_m["pdf"] > 0)
+        tmax_m = jnp.maximum(ls_m["dist"] * (1 - 1e-3), 1e-4)
+        # fold beta NOW (it mutates below); occlusion applied after the
+        # fused trace
+        nee_med = jnp.where(usable_m[..., None], beta * ld_med, 0.0)
 
         # phase continuation (its emission pickup next bounce completes
         # the MIS pair — phase pdf rides in prev_pdf)
@@ -136,15 +139,15 @@ def li(scene, o, d, pixel_id, sample_idx, cfg, rr_start=3):
         u_sel = s1(bounce, 5)
         lt_s, pmf_s = common.select_light(scene, cfg.light_strategy, hit.p, u_sel)
         u_light = s2(bounce, 3)
-        ld_surf, ls_s = common.nee_light_part(
-            scene, lights, lp, kinds, frame, hit.p, hit.ns, hit.ng, wo,
-            lt_s, u_light, surf)
+        ld_surf_c, o_sh_s, wi_sh_s, tmax_s, usable_s, ls_s = \
+            common.nee_light_defer(scene, lights, lp, kinds, frame, hit.p,
+                                   hit.ns, hit.ng, wo, lt_s, u_light, surf)
         key_trs = hash_combine(pixel_id, sample_idx, jnp.uint32(121 + bounce))
         tr_s = medmod.medium_tr(media, cur_med, hit.p, ls_s["wi"], ls_s["dist"],
                                 key_trs)
-        L = L + jnp.where(surf[..., None],
-                          beta * ld_surf * tr_s
-                          / jnp.maximum(pmf_s, 1e-12)[..., None], 0.0)
+        nee_surf = jnp.where(surf[..., None],
+                             beta * ld_surf_c * tr_s
+                             / jnp.maximum(pmf_s, 1e-12)[..., None], 0.0)
 
         # --- ONE BSDF sample: MIS counterpart AND continuation
         u_bsdf = s2(bounce, 0)
@@ -187,9 +190,25 @@ def li(scene, o, d, pixel_id, sample_idx, cfg, rr_start=3):
                              beta / jnp.maximum(1.0 - q, 1e-6)[..., None], beta)
             active = active & survive
 
+        # ---- ONE fused launch: next extension closest-hit + BOTH
+        # deferred shadow wavefronts (medium NEE from p_med, surface NEE
+        # from the offset surface point)
+        o_sh = jnp.concatenate([p_med, o_sh_s], axis=0)
+        wi_sh = jnp.concatenate([ls_m["wi"], wi_sh_s], axis=0)
+        tmax_sh = jnp.concatenate([tmax_m, tmax_s], axis=0)
+        usable_sh = jnp.concatenate([usable_m, usable_s], axis=0)
+        hit, occ2 = scenemod.intersect_occluded(scene, o, d, o_sh, wi_sh,
+                                                tmax_sh, active=active,
+                                                active_sh=usable_sh)
+        n_l = p_med.shape[0]
+        occ_m = occ2[:n_l]
+        occ_s = occ2[n_l:]
+        L = L + jnp.where((usable_m & ~occ_m)[..., None], nee_med, 0.0)
+        L = L + jnp.where((usable_s & ~occ_s)[..., None], nee_surf, 0.0)
+
     # final segment: medium attenuation + emission pickup for the last
-    # extension ray (completes the last vertex's MIS half)
-    hit = scenemod.intersect(scene, o, d, active=active)
+    # extension ray (completes the last vertex's MIS half — `hit` is the
+    # last fused launch's closest-hit result)
     seg_dist = jnp.where(hit.valid, hit.t, 2.0 * scene.world_radius)
     key_f = hash_combine(pixel_id, sample_idx, jnp.uint32(191))
     tr_f = medmod.medium_tr(media, cur_med, o, d, seg_dist, key_f)
