@@ -88,6 +88,7 @@ LC = os.environ.get("PBRT_TPU_LC", "1") != "0"
 LC_NB = int(os.environ.get("PBRT_TPU_LC_NB", 128))  # compacted block width
 
 
+
 def _split3(A):
     """Exact 3-way bf16 split: a1 + a2 + a3 == A for every f32 (8+8+8
     mantissa bits cover f32's 24)."""
@@ -573,6 +574,8 @@ def _make_closest_kernel_lc(tile, k, approx=True):
                 maskf = mask.astype(jnp.float32)
                 # rank = #masked lanes before j; 0/1 products are exact
                 # in bf16 and the f32 accumulator sums them exactly
+                # (a VPU cumsum would shorten the serial chain, but
+                # Pallas TPU has no cumsum lowering — the matmul stays)
                 rank_i = jax.lax.dot_general(
                     maskf, UT, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32).astype(jnp.int32)
