@@ -29,9 +29,12 @@ def main():
     from pbrt_tpu.dist.sharding import _render_lanes
 
     res = int(os.environ.get("BENCH_RES", 512))
-    # 2 spp per dispatch amortises the per-dispatch host/tunnel overhead
-    # (~40 ms through the axon tunnel) over twice the rays
-    spp_batch = int(os.environ.get("BENCH_SPP_BATCH", 2))
+    # wavefront width stays at one spp (262k lanes — wider wavefronts
+    # measured slower per-ray); the per-dispatch host/tunnel overhead
+    # (~40 ms through the axon tunnel) is amortised by running
+    # BENCH_SPP_SEQ full 1-spp renders SEQUENTIALLY inside one jit step
+    spp_batch = int(os.environ.get("BENCH_SPP_BATCH", 1))
+    spp_seq = int(os.environ.get("BENCH_SPP_SEQ", 8))
     n_iters = int(os.environ.get("BENCH_ITERS", 3))
     depth = 5
 
@@ -47,7 +50,7 @@ def main():
     from pbrt_tpu.cameras import cameras as cammod
     cone = cammod.cone_start(camera)   # host-side: resolution must be concrete
 
-    def bench_step(scene, camera, sample_lo):
+    def one_batch(scene, camera, sample_lo):
         pixel_id = jnp.tile(jnp.arange(hw, dtype=jnp.uint32)[None, :], (spp_batch, 1))
         sample_idx = (jnp.arange(spp_batch, dtype=jnp.uint32) + sample_lo)[:, None] \
             * jnp.ones((1, hw), jnp.uint32)
@@ -58,6 +61,22 @@ def main():
         return (jnp.sum(rad * wt[..., None], axis=0), stats["rays_traced"],
                 stats["occupancy"])
 
+    def bench_step(scene, camera, sample_lo):
+        # spp_seq sequential 1-spp renders inside ONE device dispatch:
+        # the wavefront stays at its fastest width while the tunnel RTT
+        # is paid once per spp_seq samples
+        import jax.lax as lax
+
+        def body(carry, k):
+            img, rays = carry
+            i2, r2, occ = one_batch(scene, camera, sample_lo + k * spp_batch)
+            return (img + i2, rays + r2), occ
+
+        init = (jnp.zeros((hw, 3)), jnp.zeros((), jnp.float32))
+        (img, rays), occs = lax.scan(body, init,
+                                     jnp.arange(spp_seq, dtype=jnp.uint32))
+        return img, rays, occs[-1]
+
     step = jax.jit(bench_step)
 
     # warmup/compile
@@ -67,7 +86,7 @@ def main():
     t0 = time.perf_counter()
     total_rays = 0.0
     for i in range(n_iters):
-        img, rays, occ = step(scene, camera, jnp.uint32(i * spp_batch))
+        img, rays, occ = step(scene, camera, jnp.uint32(i * spp_batch * spp_seq))
         img.block_until_ready()
         total_rays += float(rays)
     dt = time.perf_counter() - t0

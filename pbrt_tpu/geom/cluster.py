@@ -46,7 +46,7 @@ from . import triangle as trimod
 # rays per tile: 512 measured best on v5e with the lane-compacted kernel
 # (fixed per-tile costs amortise over more rays while compaction keeps the
 # streamed matmul at 128 columns; 1024 exceeds the 16M scoped-VMEM limit)
-TILE = int(os.environ.get("PBRT_TPU_TILE", 512))
+TILE = int(os.environ.get("PBRT_TPU_TILE", 1024))
 _SLOT_BITS = 11      # low mantissa bits of t reused for the slot index
 
 # tri-state override for the pallas kernel path: None = auto (use the
